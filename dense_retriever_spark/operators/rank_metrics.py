@@ -1,0 +1,59 @@
+"""Rank metrics: reciprocal rank and MRR@k.
+
+Reference analog: ``SearchEvaluator`` — inner-merge search results with query
+samples on query_id, per-row 1-based rank of the positive doc in the ranked
+list, reciprocal rank (0 when absent), global mean
+(/root/reference/dense_retriever/transforms/ann_index.py:122-137,152-156).
+Implemented as native column expressions (array_position + when) — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def results_as_ranked_lists(results: DataFrame, id_to_str: bool = True) -> DataFrame:
+    """(query_id, search_results ARRAY) from flat (query_id, doc_id, score, rank).
+
+    Mirrors the reference's ANNSearchRes shape
+    (/root/reference/dense_retriever/data_model.py:12-15): list ordered by
+    descending score. Ordering is enforced by sorting collected (rank, doc_id)
+    structs — never rely on collect_list order (it is partition-order dependent).
+    """
+    doc = F.format_string("D%d", F.col("doc_id")) if id_to_str else F.col("doc_id")
+    return (
+        results.select("query_id", F.struct("rank", doc.alias("doc")).alias("rd"))
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("rd")), lambda x: x["doc"]
+            ).alias("search_results")
+        )
+    )
+
+
+def reciprocal_rank(
+    ranked_lists: DataFrame, qrels: DataFrame, positive_col: str = "positive_doc_id"
+) -> DataFrame:
+    """(query_id, reciprocal_rank) — RR = 1/position, 0.0 if not found.
+
+    Exact twin of _calc_reciprocal_rank
+    (/root/reference/dense_retriever/transforms/ann_index.py:122-129), as
+    array_position + when instead of a row-wise apply. qrels side is small →
+    broadcast.
+    """
+    joined = ranked_lists.join(F.broadcast(qrels), "query_id")
+    pos = F.array_position(F.col("search_results"), F.col(positive_col))
+    return joined.select(
+        "query_id",
+        F.when(pos > 0, F.lit(1.0) / pos.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("reciprocal_rank"),
+    )
+
+
+def mrr(rr: DataFrame) -> DataFrame:
+    """Global mean of reciprocal ranks — MRR@k
+    (/root/reference/dense_retriever/transforms/ann_index.py:154)."""
+    return rr.agg(F.avg("reciprocal_rank").alias("mrr"))
