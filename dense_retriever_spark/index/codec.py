@@ -1,0 +1,151 @@
+"""Posting-list codec: delta + varbyte, numpy-vectorized (no per-element Python).
+
+Layout of one posting blob (all little-endian):
+
+    [u32 n_postings][u32 len_ids][u32 len_tfs][u32 len_dls]
+    [varbyte(delta(doc_ids))][varbyte(tfs)][varbyte(dls)]
+
+Varbyte: 7 payload bits per byte, least-significant group first, MSB set on the
+TERMINAL byte of each value (classic v-byte). Encode/decode are O(total_bytes)
+numpy array ops — the per-value loop is over byte-position (≤ 10 iterations),
+never over values.
+
+Reference analog: the reference stores postings implicitly inside FAISS's
+binary index file (/root/reference/dense_retriever/transforms/ann_index.py:103-107);
+this codec is the rebuild's explicit, inspectable replacement (north_star:
+"delta-encoded, varbyte-compressed postings").
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAX_BYTES = 10  # 64 bits / 7
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized v-byte encode of a uint64 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + how many thresholds 2^(7i) the value reaches
+    n = np.ones(v.size, dtype=np.int64)
+    for i in range(1, _MAX_BYTES):
+        n += (v >= np.uint64(1) << np.uint64(7 * i)).astype(np.int64)
+    ends = np.cumsum(n)
+    starts = ends - n
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for k in range(_MAX_BYTES):
+        mask = n > k
+        if not mask.any():
+            break
+        chunk = (v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        idx = starts[mask] + k
+        out[idx] = chunk.astype(np.uint8)
+        last = mask & (n == k + 1)
+        out[ends[last] - 1] |= 0x80
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Vectorized v-byte decode → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray)) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    term = (b & 0x80) != 0
+    # group id of each byte: 0-based index of the value it belongs to
+    gid = np.zeros(b.size, dtype=np.int64)
+    gid[1:] = np.cumsum(term[:-1])
+    n_vals = int(term.sum())
+    # position of byte within its group
+    group_starts = np.flatnonzero(np.r_[True, term[:-1]])
+    pos = np.arange(b.size, dtype=np.int64) - group_starts[gid]
+    vals = np.zeros(n_vals, dtype=np.uint64)
+    payload = (b & np.uint8(0x7F)).astype(np.uint64) << (7 * pos).astype(np.uint64)
+    np.add.at(vals, gid, payload)
+    return vals
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> bytes:
+    """Encode one term's postings. doc_ids must be sorted ascending, unique."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    deltas = np.empty_like(doc_ids)
+    if doc_ids.size:
+        deltas[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    ids_b = varbyte_encode(deltas.astype(np.uint64))
+    tfs_b = varbyte_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
+    dls_b = varbyte_encode(np.ascontiguousarray(dls, dtype=np.uint64))
+    header = struct.pack("<IIII", doc_ids.size, len(ids_b), len(tfs_b), len(dls_b))
+    return header + ids_b + tfs_b + dls_b
+
+
+def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (doc_ids int64 sorted, tfs int64, dls int64)."""
+    n, l1, l2, l3 = struct.unpack_from("<IIII", blob, 0)
+    o = 16
+    deltas = varbyte_decode(blob[o : o + l1]).astype(np.int64)
+    tfs = varbyte_decode(blob[o + l1 : o + l1 + l2]).astype(np.int64)
+    dls = varbyte_decode(blob[o + l1 + l2 : o + l1 + l2 + l3]).astype(np.int64)
+    doc_ids = np.cumsum(deltas)
+    assert doc_ids.size == n and tfs.size == n and dls.size == n
+    return doc_ids, tfs, dls
+
+
+def merge_postings(blobs: list[bytes]) -> bytes:
+    """Order-preserving merge of sub-postings whose doc-id ranges are disjoint
+    and given in ascending-range order (the salted two-phase build guarantees
+    this: salt = doc-range bucket). Falls back to a sort if ranges interleave."""
+    ids_parts, tf_parts, dl_parts = [], [], []
+    for blob in blobs:
+        i, t, d = decode_postings(blob)
+        ids_parts.append(i)
+        tf_parts.append(t)
+        dl_parts.append(d)
+    ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+    tfs = np.concatenate(tf_parts) if tf_parts else np.empty(0, np.int64)
+    dls = np.concatenate(dl_parts) if dl_parts else np.empty(0, np.int64)
+    if ids.size > 1 and (np.diff(ids) <= 0).any():
+        order = np.argsort(ids, kind="stable")
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+    return encode_postings(ids, tfs, dls)
+
+
+# --- block-max metadata -------------------------------------------------------
+
+BLOCK_SIZE = 128
+
+
+def block_meta(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    k1: float,
+    b: float,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block (last_doc_id, max tf-normalized score) for block-max pruning.
+
+    tfn = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)); the full BM25 contribution is
+    idf * tfn. Stored un-idf'd so the same index serves any N. Bounds are
+    inflated by 1+1e-12 so float re-association can never make a true score
+    exceed its block bound (SURVEY.md §7.4 determinism note).
+    """
+    n = doc_ids.size
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    tfn = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * dl) / avgdl))
+    n_blocks = (n + block_size - 1) // block_size
+    pad = n_blocks * block_size - n
+    last = np.pad(doc_ids, (0, pad), constant_values=doc_ids[-1]).reshape(
+        n_blocks, block_size
+    )[:, -1]
+    maxs = np.pad(tfn, (0, pad), constant_values=0.0).reshape(
+        n_blocks, block_size
+    ).max(axis=1) * (1.0 + 1e-12)
+    return last.astype(np.int64), maxs

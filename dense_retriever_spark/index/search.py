@@ -1,0 +1,166 @@
+"""Distributed BM25 top-k search over the sharded inverted index.
+
+Reference analog: ``search_from_prebuilt`` — load index, search, decode ids
+(/root/reference/dense_retriever/transforms/ann_index.py:93-107 and
+/root/reference/dense_retriever/cli/ann_index.py:27-48). The rebuild's plan:
+
+  query set (tiny, driver)            index shards/ (parquet, doc-partitioned)
+      │ tokenize + dedupe terms             │ scan with term-IN pushdown filter
+      │ look up global df (global/)         │   (Catalyst prunes untouched
+      │ broadcast {qid→terms},{term→idf}    │    columns + row groups)
+      └──────────────┐                      │
+                     ▼                      ▼
+         groupBy(shard).applyInPandas(score all queries per shard)
+                     │  shard-local top-k per query (numpy scorer)
+                     ▼
+         global window top-k (score DESC, doc_id ASC)  →  results
+
+The per-shard scorer sees every query at once (queries are broadcast in the
+closure — they are the small side), so the big index is read EXACTLY once per
+search regardless of |Q|.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dense_retriever_spark.index.build import IndexPaths
+from dense_retriever_spark.index.codec import decode_postings
+from dense_retriever_spark.index.wand import (
+    idf as idf_fn,
+    score_query_blockmax,
+    score_query_exact,
+)
+from dense_retriever_spark.operators.topk import topk_per_group
+
+RESULT_SCHEMA = "query_id long, doc_id long, score double, rank int"
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(IndexPaths(index_dir).stats) as f:
+        return json.load(f)
+
+
+def _score_shard(
+    pdf: pd.DataFrame,
+    queries: dict[int, list[str]],
+    idfs: dict[str, float],
+    k: int,
+    k1: float,
+    b: float,
+    avgdl: float,
+    docs_per_shard: int,
+    use_blockmax: bool,
+) -> pd.DataFrame:
+    """applyInPandas body: all index rows of ONE shard matching query terms."""
+    if len(pdf) == 0:
+        return pd.DataFrame(columns=["query_id", "doc_id", "score", "rank"])
+    shard = int(pdf["shard"].iloc[0])
+    base = shard * docs_per_shard
+    decoded: dict[str, tuple] = {}
+    blocks: dict[str, tuple] = {}
+    for r in pdf.itertuples(index=False):  # one iteration per TERM, not per row
+        ids, tfs, dls = decode_postings(r.postings)
+        decoded[r.term] = (ids, tfs, dls)
+        blocks[r.term] = (
+            np.asarray(r.block_last_doc_id, dtype=np.int64),
+            np.asarray(r.block_max_tfn, dtype=np.float64),
+        )
+    out_q, out_d, out_s = [], [], []
+    for qid, terms in queries.items():
+        term_rows = [
+            (t, idfs[t], *decoded[t]) for t in terms if t in decoded
+        ]
+        if not term_rows:
+            continue
+        if use_blockmax:
+            block_rows = [blocks[t[0]] for t in term_rows]
+            scores, doc_ids = score_query_blockmax(
+                term_rows, block_rows, base, docs_per_shard, k, k1, b, avgdl
+            )
+        else:
+            scores, doc_ids = score_query_exact(
+                term_rows, base, docs_per_shard, k, k1, b, avgdl
+            )
+        out_q.append(np.full(scores.size, qid, dtype=np.int64))
+        out_d.append(doc_ids)
+        out_s.append(scores)
+    if not out_q:
+        return pd.DataFrame(columns=["query_id", "doc_id", "score", "rank"])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_d),
+            "score": np.concatenate(out_s),
+            "rank": np.zeros(sum(x.size for x in out_q), dtype=np.int32),
+        }
+    )
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    use_blockmax: bool = True,
+) -> DataFrame:
+    """Top-k BM25 search. Output: (query_id, doc_id, score, rank)."""
+    from dense_retriever_spark.operators.bm25 import query_terms
+
+    paths = IndexPaths(index_dir)
+    stats = load_stats(index_dir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+
+    # 1. tokenize queries, collect the tiny (qid, term) relation to the driver
+    qt = query_terms(queries_df).collect()
+    qmap: dict[int, list[str]] = {}
+    for r in qt:
+        qmap.setdefault(int(r["query_id"]), []).append(r["term"])
+    for qid in qmap:
+        qmap[qid] = sorted(set(qmap[qid]))  # sorted-term order everywhere
+    all_terms = sorted({t for ts in qmap.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    # 2. global term stats → idf (filter pushdown on global/; tiny collect)
+    gstats = (
+        spark.read.parquet(paths.global_dir)
+        .filter(F.col("term").isin(all_terms))
+        .select("term", "df")
+        .collect()
+    )
+    idfs = {r["term"]: idf_fn(float(r["df"]), float(n_docs)) for r in gstats}
+    present = [t for t in all_terms if t in idfs]
+    if not present:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qmap = {q: [t for t in ts if t in idfs] for q, ts in qmap.items()}
+    qmap = {q: ts for q, ts in qmap.items() if ts}
+
+    # 3. scan shards with a pushed-down term filter; score per shard
+    dps = stats["docs_per_shard"]
+    shard_rows = (
+        spark.read.parquet(paths.shards)
+        .filter(F.col("term").isin(present))
+        .select("shard", "term", "postings", "block_last_doc_id", "block_max_tfn")
+    )
+    local = shard_rows.groupBy("shard").applyInPandas(
+        lambda pdf: _score_shard(
+            pdf, qmap, idfs, k, k1, b, avgdl, dps, use_blockmax
+        ),
+        schema=RESULT_SCHEMA,
+    )
+    # 4. global exact top-k with the deterministic tie-break
+    out = topk_per_group(local.drop("rank"), "query_id", "score", k)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("score").cast("double"),
+        F.col("rank").cast("int"),
+    )

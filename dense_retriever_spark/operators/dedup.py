@@ -1,0 +1,177 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash (bitwise majority of token hashes), n-gram Jaccard verification, and
+embedding-cosine near-dup (operators/similarity.py).
+
+Scale design:
+- Exact dedup is one shuffle on sha256(content) — trivially scales.
+- MinHash/LSH: signatures are computed with md5-derived 60-bit integer hashes
+  entirely in native column expressions (conv(substr(md5(...)))) so DuckDB can
+  reproduce them bit-for-bit for the correctness gate; candidate pairs come
+  from an equi-join on (band_id, band_hash) — hot buckets are bounded by the
+  band width, and the pair join is a plain shuffle join AQE can skew-split.
+- Jaccard verification joins candidate pairs back to token sets — only
+  candidates pay the verification cost, never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dense_retriever_spark.functions.tokenizer import tokenize_text_expr
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (content_sha, n_dupes, keep_id, dup_ids).
+
+    keep_id = min doc_id (deterministic survivor selection).
+    """
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.count("*").alias("n_dupes"),
+            F.min("doc_id").alias("keep_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("dup_ids"),
+        )
+    )
+
+
+def _hash60(col, salt: int):
+    """Deterministic 60-bit integer hash reproducible in DuckDB:
+    int(hex(md5(salt:val))[0:15], 16)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingles as strings 'w1 w2 w3' from tokenized text."""
+    toks = tokenize_text_expr(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      n_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>): sig[i] = min over shingles of hash_i."""
+    sh = shingles(F.col(text_col), shingle_n).alias("sh")
+    df2 = df.select(F.col(id_col).alias("doc_id"), sh).filter(F.size("sh") > 0)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("sh"), lambda s, i=i: _hash60(s, i)))
+            for i in range(n_hashes)
+        ]
+    )
+    return df2.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    bands × rows: n_hashes/bands hashes per band; band key = the band's slice
+    of the signature. Pairs are produced by a self-equi-join on
+    (band_id, band_key) — never a cross product.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at("sig", bnd * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_id", "bk.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard for candidate pairs; keep >= threshold.
+    Output: (id_a, id_b, jaccard)."""
+    sets_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    j = (
+        pairs.join(sets_df.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets_df.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """(doc_id, simhash BIGINT): bit b set iff sum over tokens of
+    (+1 if bit b of hash(token) else -1) > 0. Token multiset (tf-weighted)."""
+    toks = tokenize_text_expr(F.col(text_col))
+    df2 = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    exploded = df2.select("doc_id", F.explode("toks").alias("tok")).withColumn(
+        "h", _hash60(F.col("tok"), 9999)
+    )
+    bit_sums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,86 @@
+"""Property-based codec tests (SURVEY.md §5.1): round-trips over random inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dense_retriever_spark.index.codec import (
+    BLOCK_SIZE,
+    block_meta,
+    decode_postings,
+    encode_postings,
+    merge_postings,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(xs):
+    arr = np.array(xs, dtype=np.uint64)
+    out = varbyte_decode(varbyte_encode(arr))
+    assert out.tolist() == xs
+
+
+def test_varbyte_known_bytes():
+    # 0 -> single terminal byte 0x80; 127 -> 0xFF; 128 -> 0x00 0x81
+    assert varbyte_encode(np.array([0], np.uint64)) == b"\x80"
+    assert varbyte_encode(np.array([127], np.uint64)) == b"\xff"
+    assert varbyte_encode(np.array([128], np.uint64)) == b"\x00\x81"
+    assert varbyte_decode(b"\x00\x81").tolist() == [128]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**12),
+            st.integers(min_value=1, max_value=1000),
+            st.integers(min_value=1, max_value=100_000),
+        ),
+        max_size=400,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_postings_roundtrip(rows):
+    ids = sorted({r[0] for r in rows})
+    rows = [(i, t, d) for i, (_, t, d) in zip(ids, rows)]
+    doc_ids = np.array([r[0] for r in rows], np.int64)
+    tfs = np.array([r[1] for r in rows], np.int64)
+    dls = np.array([r[2] for r in rows], np.int64)
+    i2, t2, d2 = decode_postings(encode_postings(doc_ids, tfs, dls))
+    assert i2.tolist() == doc_ids.tolist()
+    assert t2.tolist() == tfs.tolist()
+    assert d2.tolist() == dls.tolist()
+
+
+def test_merge_ordered_and_interleaved():
+    a = encode_postings(np.array([1, 5], np.int64), np.array([2, 2], np.int64),
+                        np.array([10, 10], np.int64))
+    b = encode_postings(np.array([7, 9], np.int64), np.array([1, 3], np.int64),
+                        np.array([20, 30], np.int64))
+    ids, tfs, dls = decode_postings(merge_postings([a, b]))
+    assert ids.tolist() == [1, 5, 7, 9]
+    # interleaved ranges trigger the sort fallback
+    ids2, tfs2, dls2 = decode_postings(merge_postings([b, a]))
+    assert ids2.tolist() == [1, 5, 7, 9]
+    assert tfs2.tolist() == [2, 2, 1, 3]
+
+
+def test_block_meta_bounds():
+    n = 1000
+    rng = np.random.default_rng(42)
+    doc_ids = np.sort(rng.choice(10**6, n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 50, n).astype(np.int64)
+    dls = rng.integers(20, 400, n).astype(np.int64)
+    k1, b, avgdl = 1.2, 0.75, 200.0
+    last, maxs = block_meta(doc_ids, tfs, dls, k1, b, avgdl)
+    assert last.size == maxs.size == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    # every true tfn is <= its block bound; block last ids are the real ones
+    tfn = (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + (b * dls) / avgdl))
+    for blk in range(last.size):
+        lo, hi = blk * BLOCK_SIZE, min((blk + 1) * BLOCK_SIZE, n)
+        assert doc_ids[hi - 1] == last[blk]
+        assert (tfn[lo:hi] <= maxs[blk]).all()
