@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin re-export over dense_retriever_spark.contract — the driver runs
+``entry(spark)`` as a smoke check, and compares each ``queries()[name]``
+against ``oracle_sql()[name]`` via DuckDB at sf=0.01.
 """
 
 from __future__ import annotations
@@ -15,24 +13,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: exact BM25 top-10 over sf0.001 documents."""
+    from dense_retriever_spark.contract import q01_bm25_topk
+
+    return q01_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dense_retriever_spark.contract import QUERIES
+    from dense_retriever_spark.contract2 import QUERIES2
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {**QUERIES, **QUERIES2}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dense_retriever_spark.contract import ORACLES
+    from dense_retriever_spark.contract2 import ORACLES2
+
+    return {**ORACLES, **ORACLES2}

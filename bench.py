@@ -1,0 +1,123 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+  q_index_build    — full inverted-index build over a synthetic code corpus
+                     (N scaled to the sf dir's documents table × 4)
+  q_search_indexed — 100-query top-10 via the block-max engine on that index
+  q_bm25_exact     — index-free exact BM25 (the oracle path) on documents
+  q_dedup_minhash  — MinHash-LSH candidate pairs + Jaccard verify on documents
+  q_cosine_topk    — brute-force cosine top-3 on embeddings
+  q_term_stats     — tokenize/explode/df-cf aggregation on documents
+
+Also reports files_per_sec for the index build and search p50 latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from dense_retriever_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.contract import q01_bm25_topk, q10_term_stats
+    from dense_retriever_spark.corpus import ingest, synth_corpus, synth_queries
+    from dense_retriever_spark.index.build import build_index
+    from dense_retriever_spark.index.search import search
+    from dense_retriever_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_lsh_pairs,
+    )
+    from dense_retriever_spark.operators.similarity import cosine_topk_bruteforce
+
+    n_docs_table = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_corpus = max(2000, n_docs_table * 4)
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # corpus for the index path (deterministic synthetic code corpus)
+    corpus = ingest(synth_corpus(spark, n_corpus)).cache()
+    corpus.count()  # materialize outside the timed region
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_") + "/index"
+
+    timed("q_index_build", lambda: build_index(
+        corpus, idx_dir, docs_per_shard=max(1024, n_corpus // (2 * cpus)),
+        term_buckets=4,
+    ))
+    extra["files_per_sec"] = round(n_corpus / timings["q_index_build"], 1)
+
+    queries = synth_queries(spark, 100).cache()
+    queries.count()
+
+    def run_search():
+        return search(spark, idx_dir, queries, k=10, use_blockmax=True).count()
+
+    timed("q_search_indexed", run_search)
+    extra["search_p50_ms_per_query"] = round(
+        timings["q_search_indexed"] / 100 * 1000, 2
+    )
+
+    timed("q_bm25_exact", lambda: q01_bm25_topk(spark, sf_dir).count())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed(
+        "q_dedup_minhash",
+        lambda: jaccard_verify(
+            minhash_lsh_pairs(docs, n_hashes=16, bands=4), docs, threshold=0.5
+        ).count(),
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
+    )
+    timed("q_cosine_topk", lambda: cosine_topk_bruteforce(emb, qv, k=3).count())
+
+    timed("q_term_stats", lambda: q10_term_stats(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "corpus_files": n_corpus,
+                **extra,
+            }
+        )
+    )
+    shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

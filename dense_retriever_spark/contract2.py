@@ -1,0 +1,613 @@
+"""Driver-contract queries, wave 2: training-data pipeline operators
+(dedup / similarity / text analysis), TPC-H-style relational coverage,
+event-stream windowing, multimodal plumbing (rows-only check).
+
+Same conventions as contract.py (shared rounding, aliases, tie-breaks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dense_retriever_spark.contract import _docs, _read, _TOK_SQL
+from dense_retriever_spark.functions.tokenizer import tokenize_text_expr
+
+# ---------------------------------------------------------------------------
+# q11 — exact dedup groups (hash groupBy)
+# ---------------------------------------------------------------------------
+
+def q11_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir)).select(
+        "content_sha", "n_dupes", "keep_id"
+    )
+
+
+Q11_SQL = """
+SELECT sha256(text) AS content_sha, count(*) AS n_dupes, min(doc_id) AS keep_id
+FROM documents GROUP BY sha256(text)
+"""
+
+# ---------------------------------------------------------------------------
+# q12 — n-gram Jaccard between deterministic pairs
+# ---------------------------------------------------------------------------
+
+def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    half = n // 2
+    pairs = docs.filter(F.col("doc_id") < half).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + half).alias("id_b"),
+    )
+    from dense_retriever_spark.operators.dedup import jaccard_verify
+
+    return jaccard_verify(pairs, docs, shingle_n=3, threshold=-1.0)
+
+
+Q12_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+           AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> array_to_string(toks[i:i+2], ' ')
+         )) AS s
+  FROM t
+),
+half AS (SELECT (count(*) // 2) AS h FROM documents),
+p AS (
+  SELECT doc_id AS id_a, doc_id + h AS id_b FROM documents, half
+  WHERE doc_id < h
+)
+SELECT p.id_a, p.id_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE, 6) AS jaccard
+FROM p JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b
+WHERE len(a.s) > 0 AND len(b.s) > 0
+"""
+
+# ---------------------------------------------------------------------------
+# q13 — MinHash signatures (exploded to scalars)
+# ---------------------------------------------------------------------------
+
+N_MINHASH = 8
+
+
+def q13_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.dedup import minhash_signature
+
+    sigs = minhash_signature(
+        _docs(spark, sf_dir), "doc_id", "text", n_hashes=N_MINHASH, shingle_n=3
+    )
+    return sigs.select(
+        "doc_id",
+        F.posexplode("sig").alias("hash_idx", "minhash"),
+    ).select("doc_id", F.col("hash_idx").cast("int"), "minhash")
+
+
+Q13_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+           AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) AS s
+  FROM t WHERE len(toks) >= 3
+),
+e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+h AS (
+  SELECT e.doc_id, r.i AS hash_idx,
+         min(CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || e.shingle), 1, 15)
+                  AS BIGINT)) AS minhash
+  FROM e, range(0, {N_MINHASH}) r(i)
+  GROUP BY e.doc_id, r.i
+)
+SELECT doc_id, hash_idx::INT AS hash_idx, minhash FROM h
+"""
+
+# ---------------------------------------------------------------------------
+# q14 — SimHash (16-bit, tf-weighted)
+# ---------------------------------------------------------------------------
+
+def q14_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+Q14_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('9999:' || tok), 1, 15) AS BIGINT) AS hv
+  FROM t
+),
+bits AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, range(0, 16) b(i)
+  GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# q15 — brute-force embedding cosine top-k
+# ---------------------------------------------------------------------------
+
+def q15_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
+    )
+    return cosine_topk_bruteforce(emb, qv, k=3)
+
+
+_COS_SQL = (
+    "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "greatest(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), 1e-12), 6)"
+)
+
+Q15_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_vec_id, e.vec_id,
+         {_COS_SQL.format(a='q.qvec', b='e.embedding')} AS cosine
+  FROM embeddings e CROSS JOIN q WHERE q.query_vec_id <> e.vec_id
+),
+r AS (
+  SELECT query_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_vec_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# q16 — LSH-bucketed ANN top-k
+# ---------------------------------------------------------------------------
+
+def q16_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
+    )
+    return lsh_bucketed_topk(emb, qv, k=3, n_bits=4)
+
+
+Q16_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qvec, bucket FROM b WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_vec_id, e.vec_id,
+         {_COS_SQL.format(a='q.qvec', b='e.embedding')} AS cosine
+  FROM b e JOIN q USING (bucket) WHERE q.query_vec_id <> e.vec_id
+),
+r AS (
+  SELECT query_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_vec_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# q17 — language-ID heuristic
+# ---------------------------------------------------------------------------
+
+def q17_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.functions.text_stats import langid_scores
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(langid_scores("text").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _langid_sql() -> str:
+    from dense_retriever_spark.functions.text_stats import LANG_STOPWORDS
+
+    hit_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        hit_cols.append(
+            f"len(list_filter(toks, x -> list_contains({arr}, x))) AS h_{lang}"
+        )
+    # argmax with alphabetical tie-break via reverse-order chained CASE
+    langs_rev = sorted(LANG_STOPWORDS, reverse=True)
+    expr = "'und'"
+    best = "0"
+    for lang in langs_rev:
+        expr = (
+            f"CASE WHEN h_{lang} >= greatest({best}, 1) THEN '{lang}' "
+            f"ELSE {expr} END"
+        )
+        best = f"greatest({best}, h_{lang})"
+    return f"""
+WITH t AS (
+  SELECT {_TOK_SQL.format(c='text')} AS toks FROM documents
+),
+h AS (SELECT {', '.join(hit_cols)} FROM t),
+p AS (SELECT {expr} AS pred_lang FROM h)
+SELECT pred_lang, count(*) AS n_docs FROM p GROUP BY pred_lang
+"""
+
+
+Q17_SQL = _langid_sql()
+
+# ---------------------------------------------------------------------------
+# q18 — quality scoring
+# ---------------------------------------------------------------------------
+
+def q18_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.functions.text_stats import quality_score
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+
+
+Q18_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+           AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         least(len(ws) / 100.0, 1.0) AS len_score,
+         (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+           / greatest(length(text)::DOUBLE, 1.0) AS p,
+         len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], x)))
+           / greatest(len(toks)::DOUBLE, 1.0) AS sw
+  FROM t
+)
+SELECT doc_id,
+       round(0.5*len_score + 0.25*(1.0 - least(p*5, 1.0))
+             + 0.25*least(sw*5, 1.0), 6) AS quality
+FROM m
+"""
+
+# ---------------------------------------------------------------------------
+# q19 — token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+def q19_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ws = F.size(F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != ""))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), 0
+        )
+    )
+    return docs.select(
+        "doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens")
+    )
+
+
+Q19_SQL = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::INT
+         AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::INT
+         AS n_bpe_tokens
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# q20 — document fingerprints (md5-normalized + rolling polynomial)
+# ---------------------------------------------------------------------------
+
+# 2^31-1 keeps acc*31 + hash60 < 2^63 — no int64 overflow under ANSI mode
+_FP_MOD = 2**31 - 1
+
+
+def q20_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.dedup import _hash60
+
+    docs = _docs(spark, sf_dir)
+    toks = tokenize_text_expr("text")
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * F.lit(31) + _hash60(x, 7), F.lit(_FP_MOD)),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(toks, " ")).alias("fp_md5"),
+        rolling.alias("fp_rolling"),
+    )
+
+
+Q20_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOK_SQL.format(c='text')} AS toks FROM documents
+)
+SELECT doc_id,
+       md5(array_to_string(toks, ' ')) AS fp_md5,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(toks,
+             x -> CAST('0x' || substr(md5('7:' || x), 1, 15) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % {_FP_MOD}
+       ) AS fp_rolling
+FROM t
+"""
+
+# ---------------------------------------------------------------------------
+# q21 — TPC-H Q1-style pricing summary (A-series aggregations)
+# ---------------------------------------------------------------------------
+
+def q21_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    # doubles summed via DECIMAL so partial-aggregation order cannot perturb
+    # the result (float sums are association-sensitive; decimal is exact)
+    dq = F.col("l_quantity").cast("decimal(18,4)")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dq), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dp), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(dp * (F.lit(1).cast("decimal(18,4)") - dd)), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg(dq), 4).cast("double").alias("avg_qty"),
+            F.round(F.avg(dd), 4).cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q21_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE
+         AS sum_base_price,
+       round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))),
+             2)::DOUBLE AS sum_disc_price,
+       round(avg(CAST(l_quantity AS DECIMAL(18,4))), 4)::DOUBLE AS avg_qty,
+       round(avg(CAST(l_discount AS DECIMAL(18,4))), 4)::DOUBLE AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# q22 — multi-join revenue per nation, top-10 (J-series at TPC-H shape)
+# ---------------------------------------------------------------------------
+
+def q22_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    n = _read(spark, sf_dir, "nation")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)")
+    dd = F.col("l_discount").cast("decimal(18,4)")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(dp * (F.lit(1).cast("decimal(18,4)") - dd)), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("n_name"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("n_name", "revenue", "n_items", F.col("rank").cast("int"))
+    )
+
+
+Q22_SQL = """
+WITH rev AS (
+  SELECT n_name,
+         round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))),
+               2)::DOUBLE AS revenue,
+         count(*) AS n_items
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name
+),
+r AS (
+  SELECT n_name, revenue, n_items,
+         row_number() OVER (ORDER BY revenue DESC, n_name ASC) AS rank
+  FROM rev
+)
+SELECT n_name, revenue, n_items, rank::INT AS rank FROM r WHERE rank <= 10
+"""
+
+# ---------------------------------------------------------------------------
+# q23 — running window aggregation over events
+# ---------------------------------------------------------------------------
+
+def q23_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+    return out.filter(F.col("user_id") % 50 == 0)
+
+
+Q23_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS running_value
+FROM events
+WHERE user_id % 50 = 0
+"""
+
+# ---------------------------------------------------------------------------
+# q24 — sessionization (30-minute gap) over events
+# ---------------------------------------------------------------------------
+
+def q24_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # epoch micros (exact integers) — parity with DuckDB epoch_us(ts); the
+    # parquet ts is TIMESTAMP_NTZ, cast via LTZ under the UTC session TZ
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(w2))
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("user_id") % 25 == 0)
+    )
+
+
+Q24_SQL = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id))
+                 > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM m
+)
+SELECT user_id, max(session_id)::BIGINT AS n_sessions, count(*) AS n_events
+FROM s GROUP BY user_id HAVING user_id % 25 = 0
+"""
+
+# ---------------------------------------------------------------------------
+# q25 — multimodal plumbing (rows-only check: binary payloads are Spark-side)
+# ---------------------------------------------------------------------------
+
+def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.multimodal import (
+        extract_features,
+        synth_assets,
+    )
+
+    feats = extract_features(synth_assets(spark, 300), dim=8)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
+            F.min(F.size("feat")).alias("dim"),
+        )
+        .orderBy("kind")
+    )
+
+
+QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q11_dedup_exact": q11_dedup_exact,
+    "q12_jaccard_pairs": q12_jaccard_pairs,
+    "q13_minhash": q13_minhash,
+    "q14_simhash": q14_simhash,
+    "q15_cosine_topk": q15_cosine_topk,
+    "q16_lsh_ann": q16_lsh_ann,
+    "q17_langid": q17_langid,
+    "q18_quality": q18_quality,
+    "q19_token_counts": q19_token_counts,
+    "q20_fingerprints": q20_fingerprints,
+    "q21_pricing_summary": q21_pricing_summary,
+    "q22_revenue_by_nation": q22_revenue_by_nation,
+    "q23_running_sum": q23_running_sum,
+    "q24_sessionize": q24_sessionize,
+    "q25_multimodal_features": q25_multimodal_features,
+}
+
+ORACLES2: dict[str, str] = {
+    "q11_dedup_exact": Q11_SQL,
+    "q12_jaccard_pairs": Q12_SQL,
+    "q13_minhash": Q13_SQL,
+    "q14_simhash": Q14_SQL,
+    "q15_cosine_topk": Q15_SQL,
+    "q16_lsh_ann": Q16_SQL,
+    "q17_langid": Q17_SQL,
+    "q18_quality": Q18_SQL,
+    "q19_token_counts": Q19_SQL,
+    "q20_fingerprints": Q20_SQL,
+    "q21_pricing_summary": Q21_SQL,
+    "q22_revenue_by_nation": Q22_SQL,
+    "q23_running_sum": Q23_SQL,
+    "q24_sessionize": Q24_SQL,
+    # q25: no oracle — binary payload synthesis is engine-side (rows-only check)
+}

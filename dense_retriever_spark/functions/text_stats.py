@@ -97,9 +97,10 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(F.array_join(tokenize_text_expr(col), " "))
 
 
-def fingerprint_rolling(col: Column | str, mod: int = 2**61 - 1) -> Column:
+def fingerprint_rolling(col: Column | str, mod: int = 2**31 - 1) -> Column:
     """Order-sensitive rolling polynomial hash over tokens:
-    h = fold(h*31 + crc32(token)) mod 2^61-1 — native F.aggregate fold."""
+    h = fold(h*31 + crc32(token)) mod 2^31-1 — native F.aggregate fold.
+    (Modulus sized so acc*31 + crc32 cannot overflow int64 under ANSI mode.)"""
     toks = tokenize_text_expr(col)
     return F.aggregate(
         toks,

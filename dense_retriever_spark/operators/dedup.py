@@ -48,12 +48,18 @@ def _hash60(col, salt: int):
 
 
 def shingles(text_col, n: int = 3):
-    """Word n-gram shingles as strings 'w1 w2 w3' from tokenized text."""
+    """Word n-gram shingles as strings 'w1 w2 w3' from tokenized text.
+
+    Guarded for docs with < n tokens: Spark's sequence(1, 0) counts DOWN
+    ([1, 0]), so the short-doc case must return an empty array explicitly."""
     toks = tokenize_text_expr(text_col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str,
@@ -61,9 +67,15 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     """(doc_id, sig ARRAY<BIGINT>): sig[i] = min over shingles of hash_i."""
     sh = shingles(F.col(text_col), shingle_n).alias("sh")
     df2 = df.select(F.col(id_col).alias("doc_id"), sh).filter(F.size("sh") > 0)
+
+    def hash_with_salt(salt: int):
+        # single-arg lambda: a 2-arg lambda would receive (element, array_idx)
+        # and silently use the index as the salt
+        return lambda s: _hash60(s, salt)
+
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("sh"), lambda s, i=i: _hash60(s, i)))
+            F.array_min(F.transform(F.col("sh"), hash_with_salt(i)))
             for i in range(n_hashes)
         ]
     )
@@ -139,6 +151,7 @@ def jaccard_verify(
     j = (
         pairs.join(sets_df.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets_df.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .filter((F.size("sh_a") > 0) & (F.size("sh_b") > 0))  # ANSI: no 0/0
         .withColumn(
             "jaccard",
             F.round(

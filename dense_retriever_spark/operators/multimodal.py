@@ -1,0 +1,79 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with typed metadata
+(schemas.MULTIMODAL_SCHEMA). Decode / feature-extraction run as Arrow-batched
+``mapInPandas`` so payload bytes stream executor-side in Arrow batches and
+never hit the driver. The actual media decode is STUBBED (no image/audio libs
+in this container — clearly marked below); the Spark-side plumbing (schema,
+batch iteration, partitioning, output contract) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "asset_id long, kind string, payload_sha string, n_bytes long, "
+    "feat array<float>"
+)
+
+
+def synth_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake binary assets (stand-in for real media files)."""
+    df = spark.range(n).select(
+        F.col("id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.xxhash64(F.lit(seed), "id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.sha2(F.concat(F.lit(seed), F.col("id")), 256).cast("binary").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return df
+
+
+def _decode_stub(payload: bytes, kind: str, dim: int) -> np.ndarray:
+    """STUB: deterministic fake 'decoder'. A real deployment replaces this with
+    PIL/torchaudio/ffmpeg frame sampling; everything around it (Arrow batch
+    shape, schema, partitioning) is production-real.
+
+    Raises NotImplementedError for kinds a real decoder wouldn't support."""
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for kind={kind!r}")
+    h = hashlib.sha256(payload).digest()
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
+    return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+
+
+def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: (asset_id, kind, payload_sha, n_bytes,
+    feat ARRAY<FLOAT>). Arrow-batched; payloads never leave the executor."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(bytes(p), k, dim).tolist()
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "payload_sha": [
+                        hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
+                    ],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "feat": feats,
+                }
+            )
+
+    return assets.mapInPandas(fn, schema=FEATURE_SCHEMA)

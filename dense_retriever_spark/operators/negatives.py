@@ -1,0 +1,78 @@
+"""Hard-negative mining + train-set construction (the reference's relational
+preprocessing, re-expressed as pure dataflow).
+
+Reference analog: ``construct_train_set``
+(/root/reference/dense_retriever/transforms/preprocessing.py:86-164): join
+query samples with search results (J2), drop the positive from the candidate
+list (P5), sample one hard negative (R2 — UNSEEDED np.random.choice in the
+reference; deterministic hash-pick here, SURVEY.md §7.4), join docs twice for
+negative/positive texts (J3/J4), label and union (U1, F5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def construct_query_samples(queries: DataFrame, qrels: DataFrame) -> DataFrame:
+    """J1: queries ⋈ qrels on qid → (query, query_id, positive_doc_id).
+    Reference: /root/reference/dense_retriever/transforms/preprocessing.py:50-83."""
+    return (
+        queries.join(F.broadcast(qrels), "qid")
+        .select(
+            F.col("text").alias("query"),
+            F.col("qid").alias("query_id"),
+            F.col("doc_id").alias("positive_doc_id"),
+        )
+    )
+
+
+def mine_hard_negatives(
+    samples: DataFrame, search_results: DataFrame
+) -> DataFrame:
+    """J2 + P5 + R2: pick one deterministic hard negative per query.
+
+    candidates = search_results minus the positive; pick index =
+    xxhash64(query_id) mod |candidates| (seeded determinism replacing the
+    reference's unseeded np.random.choice, preprocessing.py:93-98).
+    Output: (query_id, query, positive_doc_id, hard_negative_id).
+    """
+    joined = samples.join(search_results, "query_id")
+    cands = F.array_remove(F.col("search_results"), F.col("positive_doc_id"))
+    pick = F.element_at(
+        cands, (F.pmod(F.xxhash64("query_id"), F.size(cands)) + 1).cast("int")
+    )
+    return joined.filter(F.size(cands) > 0).select(
+        "query_id", "query", "positive_doc_id", pick.alias("hard_negative_id")
+    )
+
+
+def build_train_set(mined: DataFrame, docs: DataFrame) -> DataFrame:
+    """J3 + J4 + F5 + U1: hydrate texts, label, union pos/neg.
+
+    Output: (query, doc, label) — the reference's IRTrainSample
+    (/root/reference/dense_retriever/data_model.py:26-30). docs is the big
+    side; both joins are plain equi-joins Catalyst plans (broadcast if docs
+    fits, sort-merge otherwise).
+    """
+    neg = (
+        mined.join(docs, mined.hard_negative_id == docs.doc_id)
+        .select("query", F.col("text").alias("doc"), F.lit(0).alias("label"))
+    )
+    pos = (
+        mined.join(docs, mined.positive_doc_id == docs.doc_id)
+        .select("query", F.col("text").alias("doc"), F.lit(1).alias("label"))
+    )
+    return pos.unionByName(neg)
+
+
+def train_test_split(df: DataFrame, test_frac: float = 0.2, seed: int = 42):
+    """R3 — deterministic split. Returns (train, test).
+
+    Hash-based (not randomSplit) so membership is a pure function of the row:
+    stable under repartitioning and re-runs, unlike the reference's unseeded
+    sklearn train_test_split (preprocessing.py:179)."""
+    bucket = F.pmod(F.xxhash64(*df.columns, F.lit(seed)), F.lit(100))
+    thresh = int(test_frac * 100)
+    return df.filter(bucket >= thresh), df.filter(bucket < thresh)

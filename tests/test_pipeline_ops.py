@@ -1,0 +1,177 @@
+"""Training-data pipeline operators: dedup, similarity, negatives, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different text about spark engines"),
+        (4, "ab"),  # < 3 tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark, docs):
+    from dense_retriever_spark.operators.dedup import dedup_exact
+
+    groups = {r["keep_id"]: r for r in dedup_exact(docs).collect()}
+    assert groups[0]["n_dupes"] == 2 and groups[0]["dup_ids"] == [0, 2]
+    assert groups[1]["n_dupes"] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from dense_retriever_spark.operators.dedup import jaccard_verify, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, n_hashes=16, bands=8)  # narrow bands: high recall
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 2) in got  # exact dup always collides on every band
+    verified = jaccard_verify(pairs, docs, threshold=0.5).collect()
+    vm = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified}
+    assert vm[(0, 2)] == 1.0
+    if (0, 1) in vm:
+        assert 0.5 <= vm[(0, 1)] < 1.0
+    # doc 4 (no shingles) never appears
+    assert not any(4 in p for p in got)
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    from dense_retriever_spark.operators.dedup import simhash
+
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=16).collect()}
+    assert sh[0] == sh[2]  # identical docs, identical simhash
+    ham_near = bin(sh[0] ^ sh[1]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near <= ham_far
+
+
+def test_cosine_vs_lsh_bucket(spark):
+    from dense_retriever_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        lsh_bucketed_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.5, 0.1, 0.2]),
+        (1, [1.0, 0.5, 0.1, 0.21]),
+        (2, [-1.0, -0.5, -0.1, -0.2]),
+        (3, [0.9, 0.4, 0.2, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
+    )
+    bf = cosine_topk_bruteforce(emb, qv, k=2).collect()
+    assert [r["vec_id"] for r in bf] == [1, 3]  # 2 is anti-parallel
+    lsh = lsh_bucketed_topk(emb, qv, k=2, n_bits=4).collect()
+    # same bucket (all-positive dims) contains 1 and 3 but not 2
+    assert [r["vec_id"] for r in lsh] == [1, 3]
+    assert all(r["cosine"] > 0.9 for r in lsh)
+
+
+def test_hard_negative_pipeline(spark):
+    from dense_retriever_spark.operators.negatives import (
+        build_train_set,
+        construct_query_samples,
+        mine_hard_negatives,
+        train_test_split,
+    )
+
+    queries = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "qid long, text string"
+    )
+    qrels = spark.createDataFrame(
+        [(1, "D10"), (2, "D20")], "qid long, doc_id string"
+    )
+    samples = construct_query_samples(queries, qrels)
+    got = {r["query_id"]: r for r in samples.collect()}
+    assert got[1]["positive_doc_id"] == "D10" and got[1]["query"] == "alpha"
+
+    results = spark.createDataFrame(
+        [(1, ["D10", "D11", "D12"]), (2, ["D21", "D20"])],
+        "query_id long, search_results array<string>",
+    )
+    mined = mine_hard_negatives(samples, results)
+    m = {r["query_id"]: r["hard_negative_id"] for r in mined.collect()}
+    assert m[1] in ("D11", "D12") and m[2] == "D21"  # positive excluded
+
+    docs = spark.createDataFrame(
+        [(f"D{i}", f"text {i}") for i in (10, 11, 12, 20, 21)],
+        "doc_id string, text string",
+    )
+    ts = build_train_set(mined, docs)
+    rows = ts.collect()
+    assert {r["label"] for r in rows} == {0, 1}
+    assert len(rows) == 4  # 2 queries x (pos + neg)
+
+    tr, te = train_test_split(ts, 0.5, seed=1)
+    assert tr.count() + te.count() == 4
+    # determinism: same split twice
+    tr2, te2 = train_test_split(ts, 0.5, seed=1)
+    assert sorted(map(tuple, tr.collect())) == sorted(map(tuple, tr2.collect()))
+
+
+def test_multimodal_plumbing(spark):
+    from dense_retriever_spark.operators.multimodal import (
+        extract_features,
+        synth_assets,
+    )
+
+    feats = extract_features(synth_assets(spark, 50), dim=8).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["feat"]) == 8
+        assert r["n_bytes"] > 0 and len(r["payload_sha"]) == 64
+    # determinism
+    feats2 = extract_features(synth_assets(spark, 50), dim=8).collect()
+    assert sorted(r["asset_id"] for r in feats) == sorted(
+        r["asset_id"] for r in feats2
+    )
+    f1 = {r["asset_id"]: r["feat"] for r in feats}
+    f2 = {r["asset_id"]: r["feat"] for r in feats2}
+    assert f1 == f2
+
+
+def test_text_stats(spark):
+    from dense_retriever_spark.functions.text_stats import (
+        fingerprint_md5,
+        fingerprint_rolling,
+        langid_scores,
+        quality_score,
+        token_count_ws,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of to in"),
+            (1, "der hund und die katze ist da"),
+            (2, "xyzzy qwerty"),
+            (3, "The   CAT and the Dog, of; to!! in"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            langid_scores("text").alias("lang"),
+            token_count_ws("text").alias("n"),
+            quality_score("text").alias("q"),
+            fingerprint_md5("text").alias("fp"),
+            fingerprint_rolling("text").alias("fpr"),
+        ).collect()
+    }
+    assert out[0]["lang"] == "en"
+    assert out[1]["lang"] == "de"
+    assert out[2]["lang"] == "und"
+    assert out[0]["n"] == 8
+    assert 0.0 <= out[0]["q"] <= 1.0
+    # normalization-insensitive fingerprint: 0 and 3 tokenize identically
+    assert out[0]["fp"] == out[3]["fp"]
+    assert out[0]["fpr"] == out[3]["fpr"]

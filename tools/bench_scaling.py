@@ -1,0 +1,123 @@
+"""Scaling-efficiency evidence for the north rule.
+
+Runs the SAME index build + search workload at two parallelism levels
+(local[8] = "N executors" and local[32] = "4N executors") in separate JVMs on
+identical deterministic input, and reports throughput at both plus
+
+    efficiency = (throughput_32 / throughput_8) / 4
+
+The north rule requires >= 0.8. Results land in BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [n_docs] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+WORKER = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, ".")
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); n_queries = int(sys.argv[3])
+from dense_retriever_spark.session import get_spark
+spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+from dense_retriever_spark.corpus import synth_corpus, synth_queries
+from dense_retriever_spark.index.build import assign_doc_ids_scalable, build_index
+from dense_retriever_spark.index.search import search
+
+corpus = assign_doc_ids_scalable(synth_corpus(spark, n_docs), partitions=cpus).cache()
+corpus.count()  # materialize input outside the timed region
+queries = synth_queries(spark, n_queries).cache(); queries.count()
+idx = tempfile.mkdtemp(prefix=f"scale_{cpus}_") + "/index"
+
+t0 = time.time()
+build_index(corpus, idx, docs_per_shard=max(512, n_docs // (4 * cpus)),
+            term_buckets=4)
+t_build = time.time() - t0
+
+t0 = time.time()
+n_res = search(spark, idx, queries, k=10, use_blockmax=True).count()
+t_search = time.time() - t0
+
+print("RESULT " + json.dumps({
+    "cpus": cpus, "n_docs": n_docs, "n_queries": n_queries,
+    "t_build_sec": round(t_build, 3),
+    "files_per_sec": round(n_docs / t_build, 1),
+    "t_search_sec": round(t_search, 3),
+    "search_p50_ms": round(t_search / n_queries * 1000, 2),
+    "n_results": n_res,
+}))
+shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+spark.stop()
+"""
+
+
+def run(cpus: int, n_docs: int, n_queries: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cpus), str(n_docs), str(n_queries)],
+        capture_output=True, text=True, env=env, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        ),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"worker local[{cpus}] produced no RESULT\nstdout:\n{out.stdout[-2000:]}"
+        f"\nstderr:\n{out.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    r8 = run(8, n_docs, n_queries)
+    r32 = run(32, n_docs, n_queries)
+    eff_build = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
+    speedup_search = r8["t_search_sec"] / r32["t_search_sec"]
+    report = {
+        "n_docs": n_docs,
+        "n_queries": n_queries,
+        "local8": r8,
+        "local32": r32,
+        "build_speedup_8_to_32": round(
+            r32["files_per_sec"] / r8["files_per_sec"], 3
+        ),
+        "build_scaling_efficiency": round(eff_build, 3),
+        "search_speedup_8_to_32": round(speedup_search, 3),
+    }
+    print(json.dumps(report, indent=2))
+    os.makedirs("BENCH", exist_ok=True)
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH baseline — scaling evidence ({stamp})
+
+Same deterministic input (synth corpus, seed=42, {n_docs} files;
+{n_queries} queries, k=10) run at two parallelism levels in separate JVMs,
+standing in for N -> 4N executors per the task directive.
+
+| metric | local[8] (N) | local[32] (4N) |
+|---|---|---|
+| index build (s) | {r8['t_build_sec']} | {r32['t_build_sec']} |
+| build throughput (files/sec) | {r8['files_per_sec']} | {r32['files_per_sec']} |
+| search 100% suite (s) | {r8['t_search_sec']} | {r32['t_search_sec']} |
+| search p50 (ms/query) | {r8['search_p50_ms']} | {r32['search_p50_ms']} |
+
+- build speedup 8->32: **{report['build_speedup_8_to_32']}x**
+- **build scaling efficiency (speedup/4): {report['build_scaling_efficiency']}**
+  (north rule requires >= 0.8)
+- search speedup 8->32: {report['search_speedup_8_to_32']}x
+
+Reproduce: `python tools/bench_scaling.py {n_docs} {n_queries}`
+""")
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
