@@ -64,38 +64,80 @@ def _pick(arr_col, hash_col):
     return F.element_at(arr_col, (F.pmod(hash_col, F.size(arr_col)) + 1).cast("int"))
 
 
+def _splitmix64(x):
+    """Vectorized splitmix64 over numpy uint64 — the generator's only RNG.
+    A pure function of the input, so generation is independent of
+    partitioning and identical across runs and parallelism levels."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
 def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
     """Generate ``n_docs`` deterministic code-like documents.
 
-    Content is 20-400 vocab tokens joined by spaces/newlines. Layout matches
-    the Iceberg input hint: (repo, path, commit, lang, content).
+    Content is 20-400 vocab tokens joined by spaces. Layout matches the
+    Iceberg input hint: (repo, path, commit, lang, content). Generation is a
+    vectorized Arrow ``mapInPandas`` over ``spark.range`` — numpy splitmix64
+    keyed on (seed, doc id, token position), so the output is a pure function
+    of the row id (same corpus at any parallelism; ~100x faster than the
+    equivalent Catalyst expression tree with an 840-literal array).
     """
-    vocab = F.array(*[F.lit(v) for v in VOCAB])
-    langs = F.array(*[F.lit(x) for x in LANGS])
-    df = spark.range(n_docs).withColumnRenamed("id", "i")
-    h = lambda *cols: F.abs(F.xxhash64(F.lit(seed), *cols))  # noqa: E731
-    df = df.withColumn("n_tokens", (F.pmod(h(F.col("i")), F.lit(381)) + 20).cast("int"))
-    # token j of doc i = VOCAB[xxhash64(seed, i, j) % |VOCAB|]
-    toks = F.transform(
-        F.sequence(F.lit(1), F.col("n_tokens")),
-        lambda j: _pick(vocab, h(F.col("i"), j)),
+    import hashlib
+
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    vocab = np.array(VOCAB)
+    langs = np.array(LANGS)
+    v, nl = len(vocab), len(langs)
+    max_tokens = 400
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.uint64)
+            b = ids.size
+            n_tok = (
+                20 + _splitmix64(ids + np.uint64(seed * 1_000_003)) % np.uint64(381)
+            ).astype(np.int64)
+            # token index matrix [b, max_tokens]: mix(seed, id, j)
+            j = np.arange(max_tokens, dtype=np.uint64)
+            keys = _splitmix64(
+                (ids[:, None] * np.uint64(0x9E3779B1))
+                + j[None, :]
+                + np.uint64(seed)
+            )
+            tok_idx = (keys % np.uint64(v)).astype(np.int64)
+            toks = vocab[tok_idx]
+            contents = [
+                " ".join(toks[r, : n_tok[r]]) for r in range(b)
+            ]
+            lang_idx = (_splitmix64(ids + np.uint64(seed + 7)) % np.uint64(nl)).astype(int)
+            commits = [
+                hashlib.sha256(f"{seed}:{i}".encode()).hexdigest()[:40] for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "repo": [f"org{i % 7}/repo{i % 23}" for i in ids],
+                    "path": [f"src/pkg{i % 50}/mod_{i}.py" for i in ids],
+                    "commit": commits,
+                    "lang": langs[lang_idx],
+                    "content": contents,
+                }
+            )
+
+    return spark.range(n_docs).mapInPandas(
+        gen, schema="repo string, path string, commit string, lang string, content string"
     )
-    df = df.select(
-        F.concat(
-            F.lit("org"), F.pmod(F.col("i"), F.lit(7)), F.lit("/repo"),
-            F.pmod(F.col("i"), F.lit(23)),
-        ).alias("repo"),
-        F.concat(
-            F.lit("src/pkg"), F.pmod(h(F.col("i"), F.lit("p")), F.lit(50)),
-            F.lit("/mod_"), F.col("i"), F.lit(".py"),
-        ).alias("path"),
-        F.substring(F.sha2(F.concat(F.lit(seed), F.col("i")), 256), 1, 40).alias(
-            "commit"
-        ),
-        _pick(langs, h(F.col("i"), F.lit("lang"))).alias("lang"),
-        F.array_join(toks, " ").alias("content"),
-    )
-    return df
 
 
 def ingest(corpus: DataFrame) -> DataFrame:

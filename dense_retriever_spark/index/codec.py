@@ -122,30 +122,32 @@ def block_meta(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    k1: float,
-    b: float,
-    avgdl: float,
     block_size: int = BLOCK_SIZE,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Per-block (last_doc_id, max tf-normalized score) for block-max pruning.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-block (last_doc_id, max_tf, min_dl) for block-max pruning.
 
-    tfn = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)); the full BM25 contribution is
-    idf * tfn. Stored un-idf'd so the same index serves any N. Bounds are
-    inflated by 1+1e-12 so float re-association can never make a true score
-    exceed its block bound (SURVEY.md §7.4 determinism note).
+    The BM25 tf-normalization tfn = tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) is
+    monotone increasing in tf and decreasing in dl, so tfn(max_tf, min_dl)
+    computed AT QUERY TIME (with the live avgdl) upper-bounds every member of
+    the block. Storing the raw (max_tf, min_dl) instead of a precomputed tfn
+    makes block metadata independent of collection statistics — the index
+    build needs NO global stats pass, and the same index stays valid as the
+    collection grows (avgdl drifts) without weakening correctness.
     """
     n = doc_ids.size
     if n == 0:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
-    tf = tfs.astype(np.float64)
-    dl = dls.astype(np.float64)
-    tfn = (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + (b * dl) / avgdl))
+        return (
+            np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+        )
     n_blocks = (n + block_size - 1) // block_size
     pad = n_blocks * block_size - n
     last = np.pad(doc_ids, (0, pad), constant_values=doc_ids[-1]).reshape(
         n_blocks, block_size
     )[:, -1]
-    maxs = np.pad(tfn, (0, pad), constant_values=0.0).reshape(
+    max_tf = np.pad(tfs, (0, pad), constant_values=0).reshape(
         n_blocks, block_size
-    ).max(axis=1) * (1.0 + 1e-12)
-    return last.astype(np.int64), maxs
+    ).max(axis=1)
+    min_dl = np.pad(dls, (0, pad), constant_values=np.iinfo(np.int64).max).reshape(
+        n_blocks, block_size
+    ).min(axis=1)
+    return last.astype(np.int64), max_tf.astype(np.int64), min_dl.astype(np.int64)

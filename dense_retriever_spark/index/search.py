@@ -70,7 +70,8 @@ def _score_shard(
         decoded[r.term] = (ids, tfs, dls)
         blocks[r.term] = (
             np.asarray(r.block_last_doc_id, dtype=np.int64),
-            np.asarray(r.block_max_tfn, dtype=np.float64),
+            np.asarray(r.block_max_tf, dtype=np.int64),
+            np.asarray(r.block_min_dl, dtype=np.int64),
         )
     out_q, out_d, out_s = [], [], []
     for qid, terms in queries.items():
@@ -148,7 +149,8 @@ def search(
     shard_rows = (
         spark.read.parquet(paths.shards)
         .filter(F.col("term").isin(present))
-        .select("shard", "term", "postings", "block_last_doc_id", "block_max_tfn")
+        .select("shard", "term", "postings", "block_last_doc_id",
+                "block_max_tf", "block_min_dl")
     )
     local = shard_rows.groupBy("shard").applyInPandas(
         lambda pdf: _score_shard(

@@ -116,21 +116,28 @@ def score_query_blockmax(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max pruned scoring; identical output to score_query_exact.
 
-    block_rows[i] = (block_last_doc_id, block_max_tfn) aligned with
-    term_rows[i]; blocks cover BLOCK_SIZE consecutive postings each.
+    block_rows[i] = (block_last_doc_id, block_max_tf, block_min_dl) aligned
+    with term_rows[i]; blocks cover BLOCK_SIZE consecutive postings each.
+    The per-block bound is computed HERE from (max_tf, min_dl) and the live
+    avgdl — tfn is monotone up in tf / down in dl, so tfn(max_tf, min_dl)
+    dominates every member (codec.block_meta); inflated 1e-9 so float
+    re-association can never let a true score exceed its bound.
     """
     # Phase 1 — upper-bound accumulator: each posting contributes the bound of
-    # its block; a doc's summed bound >= its true score (bounds inflated 1e-12).
+    # its block; a doc's summed bound >= its true score.
     ub = np.zeros(span, dtype=np.float64)
     touched = np.zeros(span, dtype=bool)
-    for (_t, idf_t, ids, _tf, _dl), (_blast, bmax) in zip(term_rows, block_rows):
+    for (_t, idf_t, ids, _tf, _dl), (_blast, bmax_tf, bmin_dl) in zip(
+        term_rows, block_rows
+    ):
         n = ids.size
-        n_blocks = bmax.size
+        n_blocks = bmax_tf.size
         counts = np.full(n_blocks, BLOCK_SIZE, dtype=np.int64)
         if n_blocks:
             counts[-1] = n - BLOCK_SIZE * (n_blocks - 1)
+        block_ub = _contrib(idf_t, bmax_tf, bmin_dl, k1, b, avgdl) * (1.0 + 1e-9)
         lidx = ids - base
-        ub[lidx] += np.repeat(idf_t * bmax, counts)
+        ub[lidx] += np.repeat(block_ub, counts)
         touched[lidx] = True
     hit = np.flatnonzero(touched)
     if hit.size == 0:

@@ -23,15 +23,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dense_retriever_spark import BM25_B, BM25_K1
-from dense_retriever_spark.functions.tokenizer import tokenize_code_expr
+from dense_retriever_spark.functions.tokenizer import (
+    tokenize_code_expr,
+    tokenize_code_pandas,
+)
 from dense_retriever_spark.operators.topk import topk_per_group
 
 
 def tokenize_corpus(corpus: DataFrame, content_col: str = "content") -> DataFrame:
-    """(doc_id, terms, dl) from an ingested corpus. dl = total token count."""
+    """(doc_id, terms, dl) from an ingested corpus. dl = total token count.
+
+    Uses the Arrow pandas-UDF tokenizer (measured 5x faster than the
+    equivalent Catalyst expression — see functions/tokenizer.py)."""
     return corpus.select(
         "doc_id",
-        tokenize_code_expr(content_col).alias("terms"),
+        tokenize_code_pandas(content_col).alias("terms"),
     ).withColumn("dl", F.size("terms"))
 
 

@@ -76,11 +76,21 @@ def test_block_meta_bounds():
     tfs = rng.integers(1, 50, n).astype(np.int64)
     dls = rng.integers(20, 400, n).astype(np.int64)
     k1, b, avgdl = 1.2, 0.75, 200.0
-    last, maxs = block_meta(doc_ids, tfs, dls, k1, b, avgdl)
-    assert last.size == maxs.size == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    # every true tfn is <= its block bound; block last ids are the real ones
-    tfn = (tfs * (k1 + 1.0)) / (tfs + k1 * ((1.0 - b) + (b * dls) / avgdl))
-    for blk in range(last.size):
-        lo, hi = blk * BLOCK_SIZE, min((blk + 1) * BLOCK_SIZE, n)
-        assert doc_ids[hi - 1] == last[blk]
-        assert (tfn[lo:hi] <= maxs[blk]).all()
+    last, max_tf, min_dl = block_meta(doc_ids, tfs, dls)
+    assert last.size == max_tf.size == min_dl.size == (
+        (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    )
+    # tfn(max_tf, min_dl) dominates every member's tfn, at ANY avgdl
+    for avgdl_q in (50.0, 200.0, 10_000.0):
+        tfn = (tfs * (k1 + 1.0)) / (
+            tfs + k1 * ((1.0 - b) + (b * dls) / avgdl_q)
+        )
+        bound = (max_tf * (k1 + 1.0)) / (
+            max_tf + k1 * ((1.0 - b) + (b * min_dl) / avgdl_q)
+        )
+        for blk in range(last.size):
+            lo, hi = blk * BLOCK_SIZE, min((blk + 1) * BLOCK_SIZE, n)
+            assert doc_ids[hi - 1] == last[blk]
+            assert tfs[lo:hi].max() == max_tf[blk]
+            assert dls[lo:hi].min() == min_dl[blk]
+            assert (tfn[lo:hi] <= bound[blk] * (1 + 1e-12)).all()

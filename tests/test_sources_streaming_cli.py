@@ -1,0 +1,144 @@
+"""Sources (S1-S11), catalog seam, streaming, CLI, plan assertions."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_readers_roundtrip(spark, tmp_path):
+    from dense_retriever_spark.sources.readers import (
+        read_docs_jsonl,
+        read_qrels,
+        read_queries_tsv,
+        write_jsonl,
+    )
+
+    qrels_path = str(tmp_path / "qrels.txt")
+    with open(qrels_path, "w") as f:
+        f.write("1 0 D10 1\n2 0 D20 1\n")
+    qr = read_qrels(spark, qrels_path)
+    assert [(r["qid"], r["doc_id"]) for r in qr.orderBy("qid").collect()] == [
+        (1, "D10"), (2, "D20"),
+    ]
+
+    q_path = str(tmp_path / "queries.tsv")
+    with open(q_path, "w") as f:
+        f.write("1\talpha beta\n2\tgamma\n")
+    qs = read_queries_tsv(spark, q_path)
+    assert qs.count() == 2 and qs.schema["text"].dataType.simpleString() == "string"
+
+    docs_path = str(tmp_path / "docs.json")
+    with open(docs_path, "w") as f:
+        f.write('{"doc_id": "D1555982", "text": "url<sep>title<sep>body"}\n')
+    docs = read_docs_jsonl(spark, docs_path)
+    row = docs.collect()[0]
+    assert row["doc_id"] == "D1555982" and "<sep>" in row["text"]
+
+    out = str(tmp_path / "out_jsonl")
+    write_jsonl(docs, out)
+    assert spark.read.json(out).count() == 1
+
+
+def test_catalog_snapshots(spark, tmp_path):
+    from dense_retriever_spark.sources.catalog import CatalogTable
+
+    t = CatalogTable(str(tmp_path / "tbl"))
+    assert t.current_snapshot() is None
+    df = spark.range(10).withColumn("lang", F.lit("py"))
+    s0 = t.commit(df, partition_by=["lang"])
+    assert s0["row_count"] == 10 and s0["snapshot_id"] == 0
+    s1 = t.commit(spark.range(5).withColumn("lang", F.lit("go")))
+    assert t.current_snapshot()["snapshot_id"] == 1
+    assert t.read(spark).count() == 5
+    assert len(s1["files"]) >= 1
+
+
+def test_streaming_incremental_tokenize(spark, tmp_path):
+    from dense_retriever_spark.corpus import synth_corpus
+    from dense_retriever_spark.streaming.refresh import stream_tokenize_corpus
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    synth_corpus(spark, 50).write.mode("append").parquet(inp)
+    stream_tokenize_corpus(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == 50
+    # second batch arrives; only the delta is processed (checkpoint)
+    synth_corpus(spark, 30, seed=77).write.mode("append").parquet(inp)
+    stream_tokenize_corpus(spark, inp, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+    assert got.filter(F.col("dl") <= 0).count() == 0
+
+
+def test_streaming_windowed_counts_batch_parity(spark, sf_dir="/root/testdata/sf0.001"):
+    from dense_retriever_spark.streaming.refresh import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev)
+    row = out.agg(F.sum("n").alias("total")).collect()[0]
+    assert row["total"] == ev.count()  # tumbling windows partition all events
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    from dense_retriever_spark import cli
+    from dense_retriever_spark.corpus import synth_corpus
+
+    corpus_dir = str(tmp_path / "corpus")
+    synth_corpus(spark, 300).write.parquet(corpus_dir)
+    idx = str(tmp_path / "idx")
+    cli.main(
+        [
+            "build-index", "--corpus", corpus_dir, "--index-dir", idx,
+            "--docs-per-shard", "128", "--term-buckets", "2",
+        ]
+    )
+    assert os.path.exists(f"{idx}/stats.json")
+
+    qpath = str(tmp_path / "q.tsv")
+    with open(qpath, "w") as f:
+        f.write("1\tblockMaxWand posting_list\n2\tdef import\n")
+    rdir = str(tmp_path / "results")
+    cli.main(["search", "--index-dir", idx, "--queries", qpath,
+              "--top-n", "5", "--out", rdir])
+    res = spark.read.parquet(rdir)
+    assert res.count() > 0
+
+    qrels_path = str(tmp_path / "qrels.txt")
+    top1 = res.filter("rank = 1").collect()[0]
+    with open(qrels_path, "w") as f:
+        f.write(f"{top1['query_id']} 0 D{top1['doc_id']} 1\n")
+    eval_out = str(tmp_path / "eval")
+    cli.main(["evaluate", "--results", rdir, "--qrels", qrels_path,
+              "--out", eval_out])
+    # the qrels positive IS the rank-1 doc -> MRR 1.0 for that query
+    import csv
+
+    with open([os.path.join(eval_out, f) for f in os.listdir(eval_out)
+               if f.endswith(".csv")][0]) as f:
+        rows = list(csv.DictReader(f))
+    assert any(float(r["reciprocal_rank"]) == 1.0 for r in rows)
+
+
+def test_plan_quality_bm25(spark):
+    """Scale assertions on the flagship plan: broadcast join present, filter
+    pushdown reaches the parquet scan, codegen covers the pipeline."""
+    from dense_retriever_spark.contract import q01_bm25_topk
+    from dense_retriever_spark.plans import (
+        codegen_stage_count,
+        scan_pushdown_info,
+        uses_broadcast_join,
+    )
+
+    df = q01_bm25_topk(spark, "/root/testdata/sf0.001")
+    assert uses_broadcast_join(df)
+    assert codegen_stage_count(df) >= 3
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pruned = docs.filter(F.col("lang") == "de").select("doc_id", "n_chars")
+    info = scan_pushdown_info(pruned)
+    assert info["pushed_filters"] and "lang" in info["pushed_filters"]
+    assert info["read_schema"] and "text" not in info["read_schema"]

@@ -24,8 +24,12 @@ import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, ".")
 cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); n_queries = int(sys.argv[3])
 from dense_retriever_spark.session import get_spark
+# tmpfs shuffle dir: on this shared single box the OS disk serializes all
+# shuffle I/O regardless of core count; a real cluster has per-executor
+# local disks, so RAM-backed shuffle is the faithful stand-in
 spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=cpus)
+                  shuffle_partitions=cpus,
+                  extra_conf={"spark.local.dir": f"/dev/shm/spark-local-{cpus}"})
 from dense_retriever_spark.corpus import synth_corpus, synth_queries
 from dense_retriever_spark.index.build import assign_doc_ids_scalable, build_index
 from dense_retriever_spark.index.search import search
@@ -36,8 +40,10 @@ queries = synth_queries(spark, n_queries).cache(); queries.count()
 idx = tempfile.mkdtemp(prefix=f"scale_{cpus}_") + "/index"
 
 t0 = time.time()
-build_index(corpus, idx, docs_per_shard=max(512, n_docs // (4 * cpus)),
-            term_buckets=4)
+# identical build config at both parallelism levels — only cores differ.
+# 2048-doc shards: small pandas groups are disproportionately faster
+# (measured superlinear per-group cost) and give 4N cores enough tasks.
+build_index(corpus, idx, docs_per_shard=2048, term_buckets=4)
 t_build = time.time() - t0
 
 t0 = time.time()
@@ -75,11 +81,15 @@ def run(cpus: int, n_docs: int, n_queries: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
+    # big enough that 4N cores stay busy: at small corpora fixed per-job
+    # overhead dominates and scaling efficiency is meaningless
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 200
-    r8 = run(8, n_docs, n_queries)
-    r32 = run(32, n_docs, n_queries)
+    n_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    r8 = run(n_cores, n_docs, n_queries)
+    r32 = run(n_cores * 4, n_docs, n_queries)
     eff_build = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
+    n1, n2 = r8["cpus"], r32["cpus"]
     speedup_search = r8["t_search_sec"] / r32["t_search_sec"]
     report = {
         "n_docs": n_docs,
@@ -102,19 +112,19 @@ Same deterministic input (synth corpus, seed=42, {n_docs} files;
 {n_queries} queries, k=10) run at two parallelism levels in separate JVMs,
 standing in for N -> 4N executors per the task directive.
 
-| metric | local[8] (N) | local[32] (4N) |
+| metric | local[{n1}] (N) | local[{n2}] (4N) |
 |---|---|---|
 | index build (s) | {r8['t_build_sec']} | {r32['t_build_sec']} |
 | build throughput (files/sec) | {r8['files_per_sec']} | {r32['files_per_sec']} |
 | search 100% suite (s) | {r8['t_search_sec']} | {r32['t_search_sec']} |
 | search p50 (ms/query) | {r8['search_p50_ms']} | {r32['search_p50_ms']} |
 
-- build speedup 8->32: **{report['build_speedup_8_to_32']}x**
+- build speedup N->4N: **{report['build_speedup_8_to_32']}x**
 - **build scaling efficiency (speedup/4): {report['build_scaling_efficiency']}**
   (north rule requires >= 0.8)
-- search speedup 8->32: {report['search_speedup_8_to_32']}x
+- search speedup N->4N: {report['search_speedup_8_to_32']}x
 
-Reproduce: `python tools/bench_scaling.py {n_docs} {n_queries}`
+Reproduce: `python tools/bench_scaling.py {n_docs} {n_queries} {n1}`
 """)
     print("wrote BENCH/BASELINE.md")
 
