@@ -23,6 +23,7 @@ WORKER = r"""
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, ".")
 cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); n_queries = int(sys.argv[3])
+dps = int(sys.argv[4]) if len(sys.argv) > 4 else 2048
 from dense_retriever_spark.session import get_spark
 # tmpfs shuffle dir: on this shared single box the OS disk serializes all
 # shuffle I/O regardless of core count; a real cluster has per-executor
@@ -43,7 +44,7 @@ t0 = time.time()
 # identical build config at both parallelism levels — only cores differ.
 # 2048-doc shards: small pandas groups are disproportionately faster
 # (measured superlinear per-group cost) and give 4N cores enough tasks.
-build_index(corpus, idx, docs_per_shard=2048, term_buckets=4)
+build_index(corpus, idx, docs_per_shard=dps, term_buckets=4)
 t_build = time.time() - t0
 
 t0 = time.time()
@@ -63,10 +64,11 @@ spark.stop()
 """
 
 
-def run(cpus: int, n_docs: int, n_queries: int) -> dict:
+def run(cpus: int, n_docs: int, n_queries: int, dps: int = 2048) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cpus), str(n_docs), str(n_queries)],
+        [sys.executable, "-c", WORKER, str(cpus), str(n_docs), str(n_queries),
+         str(dps)],
         capture_output=True, text=True, env=env, cwd=os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))
         ),
@@ -86,8 +88,9 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     n_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    r8 = run(n_cores, n_docs, n_queries)
-    r32 = run(n_cores * 4, n_docs, n_queries)
+    dps = int(sys.argv[4]) if len(sys.argv) > 4 else 2048
+    r8 = run(n_cores, n_docs, n_queries, dps)
+    r32 = run(n_cores * 4, n_docs, n_queries, dps)
     eff_build = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
     n1, n2 = r8["cpus"], r32["cpus"]
     speedup_search = r8["t_search_sec"] / r32["t_search_sec"]
