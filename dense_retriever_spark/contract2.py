@@ -96,7 +96,13 @@ def q13_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("hash_idx").cast("int"), "minhash")
 
 
-Q13_SQL = f"""
+def _q13_sql() -> str:
+    from dense_retriever_spark.operators.dedup import MINHASH_M, minhash_coeffs
+
+    coef_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coeffs(N_MINHASH))
+    )
+    return f"""
 WITH t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
@@ -105,20 +111,25 @@ WITH t AS (
 ),
 sh AS (
   SELECT doc_id,
-         list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                        i -> array_to_string(toks[i:i+2], ' ')) AS s
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS s
   FROM t WHERE len(toks) >= 3
 ),
-e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-h AS (
-  SELECT e.doc_id, r.i AS hash_idx,
-         min(CAST('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || e.shingle), 1, 15)
-                  AS BIGINT)) AS minhash
-  FROM e, range(0, {N_MINHASH}) r(i)
-  GROUP BY e.doc_id, r.i
-)
-SELECT doc_id, hash_idx::INT AS hash_idx, minhash FROM h
+e AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('0:' || unnest(s)), 1, 15) AS BIGINT)
+           & {MINHASH_M} AS base
+  FROM sh
+),
+coef(i, a, b) AS (VALUES {coef_values})
+SELECT e.doc_id, coef.i::INT AS hash_idx,
+       min((coef.a * e.base + coef.b) % {MINHASH_M}) AS minhash
+FROM e CROSS JOIN coef
+GROUP BY e.doc_id, coef.i
 """
+
+
+Q13_SQL = _q13_sql()
 
 # ---------------------------------------------------------------------------
 # q14 — SimHash (16-bit, tf-weighted)

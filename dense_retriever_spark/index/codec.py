@@ -94,6 +94,64 @@ def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return doc_ids, tfs, dls
 
 
+def _read_one_varbyte(b: bytes, offset: int = 0) -> tuple[int, int]:
+    """Decode a single v-byte value; returns (value, bytes_consumed)."""
+    val = 0
+    shift = 0
+    i = offset
+    while True:
+        byte = b[i]
+        val |= (byte & 0x7F) << shift
+        i += 1
+        if byte & 0x80:
+            return val, i - offset
+        shift += 7
+
+
+def merge_postings_fast(blobs: list[bytes], last_doc_ids: list[int]) -> bytes:
+    """O(bytes) order-preserving merge by BYTE SPLICING.
+
+    ``blobs`` must cover ascending disjoint doc-id ranges (the doc-range
+    shard build guarantees this); ``last_doc_ids[i]`` is the max doc id in
+    blob i (from the shard row's block_last_doc_id[-1]). Only the FIRST
+    v-byte of each subsequent blob's id stream is rewritten (absolute doc id
+    -> delta from the previous blob's last); tf and dl streams concatenate
+    unchanged. This makes merging a term with df = N a memcpy instead of a
+    full decode+re-encode — the hot-term merge skew killer (north_rule).
+    """
+    if len(blobs) == 1:
+        return blobs[0]
+    n_total = 0
+    ids_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    dl_parts: list[bytes] = []
+    prev_last: int | None = None
+    for blob, last_id in zip(blobs, last_doc_ids):
+        n, l1, l2, l3 = struct.unpack_from("<IIII", blob, 0)
+        o = 16
+        ids_b = blob[o : o + l1]
+        tf_b = blob[o + l1 : o + l1 + l2]
+        dl_b = blob[o + l1 + l2 : o + l1 + l2 + l3]
+        if prev_last is not None and n > 0:
+            first_abs, consumed = _read_one_varbyte(ids_b, 0)
+            delta = first_abs - prev_last
+            ids_b = (
+                varbyte_encode(np.array([delta], dtype=np.uint64))
+                + ids_b[consumed:]
+            )
+        ids_parts.append(ids_b)
+        tf_parts.append(tf_b)
+        dl_parts.append(dl_b)
+        n_total += n
+        if n > 0:
+            prev_last = int(last_id)
+    ids_all = b"".join(ids_parts)
+    tf_all = b"".join(tf_parts)
+    dl_all = b"".join(dl_parts)
+    header = struct.pack("<IIII", n_total, len(ids_all), len(tf_all), len(dl_all))
+    return header + ids_all + tf_all + dl_all
+
+
 def merge_postings(blobs: list[bytes]) -> bytes:
     """Order-preserving merge of sub-postings whose doc-id ranges are disjoint
     and given in ascending-range order (the salted two-phase build guarantees

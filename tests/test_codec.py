@@ -56,6 +56,49 @@ def test_postings_roundtrip(rows):
     assert d2.tolist() == dls.tolist()
 
 
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                 max_size=60),
+        min_size=1, max_size=6,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_merge_fast_equals_decode_concat(segments):
+    """Byte-splice merge == full decode+concat, for any ascending disjoint
+    doc-id segments."""
+    from dense_retriever_spark.index.codec import merge_postings_fast
+
+    rng = np.random.default_rng(7)
+    # make segments ascending + disjoint
+    all_ids = sorted({x for seg in segments for x in seg})
+    if not all_ids:
+        return
+    sizes = [len(s) for s in segments]
+    if sum(sizes) > len(all_ids):
+        sizes = [max(1, len(all_ids) // len(segments))] * len(segments)
+        if sum(sizes) > len(all_ids):
+            sizes = [len(all_ids)] + [0] * (len(segments) - 1)
+    blobs, lasts, want_ids, want_tfs, want_dls = [], [], [], [], []
+    pos = 0
+    for sz in sizes:
+        if sz == 0:
+            continue
+        ids = np.array(all_ids[pos : pos + sz], np.int64)
+        pos += sz
+        tfs = rng.integers(1, 100, ids.size).astype(np.int64)
+        dls = rng.integers(1, 500, ids.size).astype(np.int64)
+        blobs.append(encode_postings(ids, tfs, dls))
+        lasts.append(int(ids[-1]))
+        want_ids += ids.tolist()
+        want_tfs += tfs.tolist()
+        want_dls += dls.tolist()
+    got_i, got_t, got_d = decode_postings(merge_postings_fast(blobs, lasts))
+    assert got_i.tolist() == want_ids
+    assert got_t.tolist() == want_tfs
+    assert got_d.tolist() == want_dls
+
+
 def test_merge_ordered_and_interleaved():
     a = encode_postings(np.array([1, 5], np.int64), np.array([2, 2], np.int64),
                         np.array([10, 10], np.int64))
