@@ -125,10 +125,11 @@ def synth_corpus(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
             commits = [
                 hashlib.sha256(f"{seed}:{i}".encode()).hexdigest()[:40] for i in ids
             ]
+            # int(i): numpy uint64 % python-int promotes to float64 ('0.0')
             yield pd.DataFrame(
                 {
-                    "repo": [f"org{i % 7}/repo{i % 23}" for i in ids],
-                    "path": [f"src/pkg{i % 50}/mod_{i}.py" for i in ids],
+                    "repo": [f"org{int(i) % 7}/repo{int(i) % 23}" for i in ids],
+                    "path": [f"src/pkg{int(i) % 50}/mod_{int(i)}.py" for i in ids],
                     "commit": commits,
                     "lang": langs[lang_idx],
                     "content": contents,

@@ -74,16 +74,17 @@ def assign_doc_ids_scalable(corpus: DataFrame, partitions: int = 0) -> DataFrame
     zipWithIndex shape expressed with DataFrames + one tiny driver collect —
     O(P) driver state, no global sort, scales to 10^12 rows.
     """
-    spark = corpus.sparkSession
     keys = [F.col("repo"), F.col("path"), F.col("commit")]
     p = partitions or corpus.sparkSession.sparkContext.defaultParallelism
-    arranged = corpus.repartitionByRange(p, *keys).sortWithinPartitions(*keys)
-    counts = (
-        arranged.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
-        .count()
-        .collect()
+    # pid must be MATERIALIZED as a column in the range-partitioned stage:
+    # a second spark_partition_id() call downstream would evaluate AFTER the
+    # window's exchange and return the post-shuffle partition id (wrong ids).
+    arranged = (
+        corpus.repartitionByRange(p, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("pid", F.spark_partition_id())
     )
+    counts = arranged.groupBy("pid").count().collect()
     offsets = {}
     acc = 0
     for row in sorted(counts, key=lambda r: r["pid"]):
@@ -95,17 +96,16 @@ def assign_doc_ids_scalable(corpus: DataFrame, partitions: int = 0) -> DataFrame
 
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(F.spark_partition_id()).orderBy(*keys)
+    w = Window.partitionBy("pid").orderBy(*keys)
     return (
         arranged.withColumn(
             "doc_id",
-            (
-                off_map[F.spark_partition_id()]
-                + F.row_number().over(w)
-                - F.lit(1)
-            ).cast("long"),
+            (off_map[F.col("pid")] + F.row_number().over(w) - F.lit(1)).cast(
+                "long"
+            ),
         )
         .withColumn("content_sha", F.sha2(F.col("content"), 256))
+        .drop("pid")
     )
 
 
