@@ -54,6 +54,49 @@ def stream_tokenize_corpus(
     q.awaitTermination()
 
 
+def stateful_user_sessions(
+    event_stream: DataFrame,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running session counter with gap-based session breaks.
+
+    State per user: (last_ts_epoch, n_sessions, n_events). Each micro-batch
+    folds its events (sorted by ts) into the state and emits one updated row
+    per user: (user_id, n_sessions, n_events). This is the stream twin of the
+    batch sessionization in contract2.q24_sessionize.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_sessions long, n_events long"
+    state_schema = "last_ts double, n_sessions long, n_events long"
+
+    def fn(key, pdfs, state: GroupState):
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        import numpy as np
+
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts = np.sort(pdf["ts"].astype("int64").to_numpy() / 1e9)
+            prev = np.r_[last_ts if last_ts is not None else -np.inf, ts[:-1]]
+            n_sessions += int(((ts - prev) > gap_seconds).sum())
+            n_events += ts.size
+            last_ts = float(ts[-1])
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions],
+             "n_events": [n_events]}
+        )
+
+    return event_stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "10 minutes",

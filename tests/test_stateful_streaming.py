@@ -1,0 +1,58 @@
+"""Custom stateful streaming operator: applyInPandasWithState session counts.
+
+Drives a real Structured Streaming query: file-source stream -> stateful
+session counter -> memory sink, two micro-batches (second batch continues
+sessions from checkpointed state)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u) for i, (s, u) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long",
+    )
+
+
+def test_stateful_sessions_two_batches(spark, tmp_path):
+    from dense_retriever_spark.streaming.refresh import stateful_user_sessions
+
+    inp = str(tmp_path / "in")
+    # batch 1: user 1 -> two sessions (gap 3600 > 1800); user 2 -> one
+    _events(spark, [(0, 1), (10, 1), (3700, 1), (0, 2)]).write.mode(
+        "append"
+    ).parquet(inp)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long"
+    ).parquet(inp)
+    out = stateful_user_sessions(stream, gap_seconds=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql("select * from sess").collect()
+    }
+    assert got[1] == (2, 3)
+    assert got[2] == (1, 1)
+
+    # batch 2: user 1 event 100s after last (same session); user 2 after a
+    # big gap (new session) — state must persist across micro-batches
+    _events(spark, [(3800, 1), (90000, 2)]).write.mode("append").parquet(inp)
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select * from sess").collect()
+    latest = {}
+    for r in rows:  # memory sink in update mode appends; keep max n_events
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[1]:
+            latest[r["user_id"]] = (r["n_sessions"], r["n_events"])
+    assert latest[1] == (2, 4)  # same session continued
+    assert latest[2] == (2, 2)  # new session after the gap
