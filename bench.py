@@ -39,8 +39,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from dense_retriever_spark.contract import q01_bm25_topk, q10_term_stats
-    from dense_retriever_spark.corpus import ingest, synth_corpus, synth_queries
-    from dense_retriever_spark.index.build import build_index
+    from dense_retriever_spark.corpus import synth_corpus, synth_queries
+    from dense_retriever_spark.index.build import (
+        assign_doc_ids_scalable,
+        build_index,
+    )
     from dense_retriever_spark.index.search import search
     from dense_retriever_spark.operators.dedup import (
         jaccard_verify,
@@ -49,7 +52,10 @@ def main() -> None:
     from dense_retriever_spark.operators.similarity import cosine_topk_bruteforce
 
     n_docs_table = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    n_corpus = max(2000, n_docs_table * 4)
+    # ×16 the sf dir's documents table: at sf0.1 that's ~320k files, enough
+    # that the build measures sustained throughput, not fixed per-job driver
+    # cost (~0.3-1s/job on this box; a <15s build is overhead-dominated)
+    n_corpus = max(2000, n_docs_table * 16)
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -60,9 +66,11 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # corpus for the index path (deterministic synthetic code corpus)
-    corpus = ingest(synth_corpus(spark, n_corpus)).cache()
-    corpus.count()  # materialize outside the timed region
+    # corpus for the index path (deterministic synthetic code corpus).
+    # Doc-id assignment uses the SCALE path (partition-offset zipWithIndex
+    # shape, no global single-partition sort) — build_index stages the result
+    # to parquet, so the assignment executes exactly once.
+    corpus = assign_doc_ids_scalable(synth_corpus(spark, n_corpus))
     idx_dir = tempfile.mkdtemp(prefix="bench_idx_") + "/index"
 
     timed("q_index_build", lambda: build_index(

@@ -427,12 +427,14 @@ def q10_term_stats(spark: SparkSession, sf_dir: str, top_n: int = 20) -> DataFra
     stats = toks.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf")
     )
-    w = Window.orderBy(F.desc("df"), F.desc("cf"), F.asc("term"))
-    return (
-        stats.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= top_n)
-        .select("term", "df", "cf", F.col("r").cast("int").alias("r"))
-    )
+    # global top-N as orderBy().limit(): Spark plans TakeOrderedAndProject
+    # (per-partition top-N, then merge) — NOT a single-partition global
+    # window, which would pull every distinct term through one reducer.
+    from dense_retriever_spark.operators.topk import global_topn_ranked
+
+    return global_topn_ranked(
+        stats, [("df", True), ("cf", True), ("term", False)], top_n, "r"
+    ).select("term", "df", "cf", "r")
 
 
 Q10_SQL = f"""

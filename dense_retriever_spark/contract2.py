@@ -455,12 +455,13 @@ def q22_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("n_name"))
-    return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("n_name", "revenue", "n_items", F.col("rank").cast("int"))
-    )
+    # top-N via orderBy().limit() → TakeOrderedAndProject (≤25 nations, but
+    # normalized to the scale-safe, WindowExec-free shape)
+    from dense_retriever_spark.operators.topk import global_topn_ranked
+
+    return global_topn_ranked(
+        rev, [("revenue", True), ("n_name", False)], 10, "rank"
+    ).select("n_name", "revenue", "n_items", "rank")
 
 
 Q22_SQL = """

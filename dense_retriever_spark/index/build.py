@@ -26,10 +26,23 @@ PHASE B  (term-merged global index, ``global/``)
   north star; it also yields the global term-statistics table (df per term)
   that query time broadcasts.
 
-Resumability: the build loops over shard batches; each completed batch appends
-a manifest row (shard id, term range, row counts, bytes, input fingerprint,
-status). On restart, shards with status=complete are filtered out of the input
-and their parquet is left untouched (byte-identical resume, SURVEY.md §7.3).
+Resumability: the build loops over shard batches; each completed batch writes
+its manifest rows (shard id, term range, row counts, bytes, input fingerprint,
+status) into a PARQUET MANIFEST TABLE partitioned by shard — written by
+executors, latest-wins via dynamic partition overwrite. On restart, a shard is
+considered done only if its manifest row is status=complete AND its stored
+input_fingerprint equals the fingerprint recomputed from the CURRENT staged
+corpus — a changed input forces a rebuild of exactly the changed shards. The
+driver never materializes per-shard state: done/todo are DataFrame joins and
+the batch loop collects one summary row per BATCH (O(n_shards / batch)), so
+resume state stays executor-side at 10^8+ shards.
+
+Determinism: the ingested corpus is STAGED to parquet (docs table, including
+content) before any shard work, and every downstream job (fingerprints,
+phase A, phase B) reads the staged table. Doc ids are therefore assigned by
+exactly one Spark job — repartitionByRange's sampled bounds can differ between
+executions, so re-evaluating the assignment lineage in a second job could
+yield different ids (see assign_doc_ids_scalable).
 """
 
 from __future__ import annotations
@@ -74,15 +87,25 @@ def assign_doc_ids_scalable(corpus: DataFrame, partitions: int = 0) -> DataFrame
     zipWithIndex shape expressed with DataFrames + one tiny driver collect —
     O(P) driver state, no global sort, scales to 10^12 rows.
     """
+    from pyspark import StorageLevel
+
     keys = [F.col("repo"), F.col("path"), F.col("commit")]
     p = partitions or corpus.sparkSession.sparkContext.defaultParallelism
     # pid must be MATERIALIZED as a column in the range-partitioned stage:
     # a second spark_partition_id() call downstream would evaluate AFTER the
     # window's exchange and return the post-shuffle partition id (wrong ids).
+    #
+    # PERSIST before the counts job: repartitionByRange samples its bounds
+    # per-execution (seeded by the RDD id), so without persist the counts job
+    # and the downstream projection could see DIFFERENT partitionings →
+    # duplicate/missing doc ids. DISK_ONLY blocks are not evicted under memory
+    # pressure; callers should additionally materialize the result to parquet
+    # (build_index stages it to the docs table) before long pipelines.
     arranged = (
         corpus.repartitionByRange(p, *keys)
         .sortWithinPartitions(*keys)
         .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.DISK_ONLY)
     )
     counts = arranged.groupBy("pid").count().collect()
     offsets = {}
@@ -136,25 +159,53 @@ class IndexPaths:
         return os.path.join(self.root, "stats.json")
 
 
-def _read_manifest(paths: IndexPaths) -> dict[int, dict]:
-    out: dict[int, dict] = {}
+MANIFEST_SCHEMA = (
+    "term_lo string, term_hi string, row_count long, bytes long, "
+    "input_fingerprint string, status string, shard_id long"
+)
+
+
+def _manifest_df(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
+    """The manifest as a DataFrame (None if no manifest exists yet).
+
+    A parquet table partitioned by shard_id, written by EXECUTORS via dynamic
+    partition overwrite — latest build of a shard wins, the driver holds no
+    per-shard state. This replaces the round-1 one-JSON-file-per-shard layout
+    that put O(n_shards) files + dict entries on the driver."""
     if not os.path.isdir(paths.manifest):
-        return out
-    for name in sorted(os.listdir(paths.manifest)):
-        if name.endswith(".json"):
-            with open(os.path.join(paths.manifest, name)) as f:
-                row = json.load(f)
-            out[row["shard_id"]] = row
-    return out
+        return None
+    df = spark.read.schema(MANIFEST_SCHEMA).parquet(paths.manifest)
+    return df.withColumn("shard_id", F.col("shard_id").cast("long"))
 
 
-def _write_manifest_row(paths: IndexPaths, row: dict) -> None:
-    os.makedirs(paths.manifest, exist_ok=True)
-    tmp = os.path.join(paths.manifest, f"shard_{row['shard_id']:06d}.json.tmp")
-    dst = tmp[: -len(".tmp")]
-    with open(tmp, "w") as f:
-        json.dump(row, f)
-    os.replace(tmp, dst)  # atomic: a crash never leaves a half-written manifest
+def _read_manifest(paths: IndexPaths, spark: SparkSession | None = None) -> dict[int, dict]:
+    """TEST/INSPECTION helper: collect the manifest into a driver dict.
+    O(n_shards) by construction — never used by the build/resume path."""
+    from pyspark.sql import SparkSession as _S
+
+    spark = spark or _S.getActiveSession()
+    df = _manifest_df(spark, paths)
+    if df is None:
+        return {}
+    return {int(r["shard_id"]): r.asDict() for r in df.collect()}
+
+
+def _fingerprint_df(staged: DataFrame) -> DataFrame:
+    """(shard, fp): per-shard sha256 over sorted doc_id:content_sha pairs —
+    the per-row invariant (BASELINE.json:input_hint) rolled up per shard.
+    Group size is bounded by docs_per_shard, never by corpus size."""
+    return staged.groupBy("shard").agg(
+        F.sha2(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "content_sha"))),
+                    lambda s: F.concat_ws(":", s["doc_id"], s["content_sha"]),
+                ),
+            ),
+            256,
+        ).alias("fp")
+    )
 
 
 # --- phase A: per-shard postings (tokenize inside the group) ------------------
@@ -305,60 +356,83 @@ def build_index(
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
 
+    # STAGE: materialize the ingested corpus exactly once (doc dimension table
+    # WITH content, partitioned by shard for per-batch pruning). Every
+    # downstream job reads this parquet, so doc ids are fixed by a single
+    # execution — re-evaluating the assignment lineage (repartitionByRange
+    # samples bounds per-execution) can NOT produce divergent ids between the
+    # docs table and the postings. Content rides along so phase A never
+    # touches the (potentially nondeterministic) input lineage either; column
+    # pruning keeps content out of every scan that doesn't ask for it.
+    (
+        ingested.select(
+            "doc_id", "repo", "path", "commit", "lang", "content", "content_sha"
+        )
+        .withColumn("shard", (F.col("doc_id") / docs_per_shard).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(paths.docs)
+    )
+    ingested.unpersist()  # no-op unless assign_doc_ids_scalable persisted it
+    staged = spark.read.parquet(paths.docs).withColumn(
+        "shard", F.col("shard").cast("long")
+    )
+
     # N = plain row count — no tokenization pass needed: block metadata is
     # stats-free (max_tf/min_dl, see codec.block_meta), and avgdl is derived
     # AFTER phase A from the shards' cf sums. N counts ALL docs (incl.
     # zero-token ones) — same convention as the oracle's corpus_stats.
-    n_docs = ingested.count()
+    n_docs = staged.count()
     n_shards = max(1, math.ceil(n_docs / docs_per_shard))
-    mark("stats")
+    mark("stage_docs")
 
-    # doc dimension table: id codec mapping + per-row invariant (content_sha)
-    ingested.select(
-        "doc_id", "repo", "path", "commit", "lang", "content_sha"
-    ).withColumn("shard", (F.col("doc_id") / docs_per_shard).cast("long")).write.mode(
-        "overwrite"
-    ).parquet(paths.docs)
+    # per-shard input fingerprint — stays a DataFrame (never collected)
+    fp_df = _fingerprint_df(staged)
 
-    # per-shard input fingerprint: sha256 over doc_id:content_sha sorted by id
-    fingerprints = {
-        r["shard"]: r["fp"]
-        for r in spark.read.parquet(paths.docs)
-        .groupBy("shard")
-        .agg(
-            F.sha2(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("doc_id", "content_sha"))
-                        ),
-                        lambda s: F.concat_ws(":", s["doc_id"], s["content_sha"]),
-                    ),
-                ),
-                256,
-            ).alias("fp")
+    # RESUME: a shard is done iff manifest says complete AND the stored
+    # fingerprint equals the one recomputed from the CURRENT staged corpus —
+    # stale shards (input changed between runs) are rebuilt, not silently
+    # merged. All of this is joins; the driver sees only per-BATCH summaries.
+    manifest = _manifest_df(spark, paths)
+    if manifest is not None:
+        done_keys = manifest.filter(F.col("status") == "complete").select(
+            F.col("shard_id").alias("shard"),
+            F.col("input_fingerprint").alias("fp"),
         )
+        todo_df = fp_df.join(done_keys, ["shard", "fp"], "left_anti")
+    else:
+        todo_df = fp_df
+    from pyspark import StorageLevel
+
+    # persisted so the fingerprint aggregation runs once, not once per batch;
+    # O(n_shards) ROWS but distributed across executors, never on the driver
+    todo_df = todo_df.select("shard", "fp").persist(StorageLevel.DISK_ONLY)
+
+    batch = shard_batch or n_shards
+    # one row per batch range that still has work: O(n_shards / batch) driver
+    batch_rows = (
+        todo_df.groupBy(
+            (F.col("shard") / F.lit(batch)).cast("long").alias("batch_id")
+        )
+        .count()
         .collect()
-    }
-    mark("docs_and_fingerprints")
-
-    # the build's ONE wide shuffle moves compact (doc_id, content) rows to
-    # their doc-range shard; tokenization + tf counting + encoding all happen
-    # inside the per-shard Arrow batch (_build_shard_from_content)
-    corpus_min = ingested.select("doc_id", "content").withColumn(
-        "shard", (F.col("doc_id") / docs_per_shard).cast("long")
     )
+    mark("resume_plan")
 
-    done = {
-        s for s, row in _read_manifest(paths).items() if row["status"] == "complete"
-    }
-    todo = [s for s in range(n_shards) if s not in done]
-    batch = shard_batch or len(todo) or 1
-
-    for i in range(0, len(todo), batch):
-        group = todo[i : i + batch]
-        part = corpus_min.filter(F.col("shard").isin(group))
+    for br in sorted(batch_rows, key=lambda r: r["batch_id"]):
+        lo = int(br["batch_id"]) * batch
+        hi = lo + batch
+        in_range = (F.col("shard") >= lo) & (F.col("shard") < hi)
+        todo_part = F.broadcast(todo_df.filter(in_range))  # ≤ batch rows
+        # the build's ONE wide shuffle moves compact (doc_id, content) rows to
+        # their doc-range shard; tokenize + tf-count + encode all run inside
+        # the per-shard Arrow batch (_build_shard_from_content). Partition
+        # pruning on the staged table limits the scan to this batch's range.
+        part = (
+            staged.filter(in_range)
+            .join(todo_part.select("shard"), "shard", "left_semi")
+            .select("shard", "doc_id", "content")
+        )
         rows = part.groupBy("shard").applyInPandas(
             _build_shard_from_content, schema=POSTING_ROW_SCHEMA,
         )
@@ -369,11 +443,13 @@ def build_index(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(paths.shards)
         )
-        # commit manifest rows for this batch
-        stats_rows = {
-            r["shard"]: r
-            for r in spark.read.parquet(paths.shards)
-            .filter(F.col("shard").isin(group))
+        # commit manifest rows for this batch — executor-written parquet,
+        # dynamic overwrite per shard partition (latest build wins). A left
+        # join keeps zero-posting shards (all-empty docs) resumable too.
+        shard_stats = (
+            spark.read.parquet(paths.shards)
+            .filter(in_range)
+            .join(todo_part.select("shard"), "shard", "left_semi")
             .groupBy("shard")
             .agg(
                 F.count("*").alias("row_count"),
@@ -381,22 +457,25 @@ def build_index(
                 F.max("term").alias("term_hi"),
                 F.sum(F.length("postings")).alias("bytes"),
             )
-            .collect()
-        }
-        for s in group:
-            r = stats_rows.get(s)
-            _write_manifest_row(
-                paths,
-                {
-                    "shard_id": s,
-                    "term_lo": r["term_lo"] if r else None,
-                    "term_hi": r["term_hi"] if r else None,
-                    "row_count": int(r["row_count"]) if r else 0,
-                    "bytes": int(r["bytes"]) if r else 0,
-                    "input_fingerprint": fingerprints.get(s),
-                    "status": "complete",
-                },
+        )
+        (
+            todo_df.filter(in_range)
+            .join(shard_stats, "shard", "left")
+            .select(
+                F.col("term_lo"),
+                F.col("term_hi"),
+                F.coalesce(F.col("row_count"), F.lit(0)).alias("row_count"),
+                F.coalesce(F.col("bytes"), F.lit(0)).alias("bytes"),
+                F.col("fp").alias("input_fingerprint"),
+                F.lit("complete").alias("status"),
+                F.col("shard").alias("shard_id"),
             )
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(paths.manifest)
+        )
+    todo_df.unpersist()
     mark("phase_a")
 
     # phase B: term-merged global index (explicit term-hash repartition)

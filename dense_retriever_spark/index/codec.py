@@ -2,8 +2,12 @@
 
 Layout of one posting blob (all little-endian):
 
-    [u32 n_postings][u32 len_ids][u32 len_tfs][u32 len_dls]
+    [u64 n_postings][u64 len_ids][u64 len_tfs][u64 len_dls]
     [varbyte(delta(doc_ids))][varbyte(tfs)][varbyte(dls)]
+
+Header fields are u64 so a mega-hot term (df ~ N) stays encodable past the
+u32 ceiling of ~4.3B postings — the design targets 10^12 docs where 'def'
+or 'import' can exceed 2^32 occurrences.
 
 Varbyte: 7 payload bits per byte, least-significant group first, MSB set on the
 TERMINAL byte of each value (classic v-byte). Encode/decode are O(total_bytes)
@@ -78,14 +82,17 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> by
     ids_b = varbyte_encode(deltas.astype(np.uint64))
     tfs_b = varbyte_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
     dls_b = varbyte_encode(np.ascontiguousarray(dls, dtype=np.uint64))
-    header = struct.pack("<IIII", doc_ids.size, len(ids_b), len(tfs_b), len(dls_b))
+    header = struct.pack("<QQQQ", doc_ids.size, len(ids_b), len(tfs_b), len(dls_b))
     return header + ids_b + tfs_b + dls_b
+
+
+HEADER_BYTES = 32  # 4 × u64
 
 
 def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """→ (doc_ids int64 sorted, tfs int64, dls int64)."""
-    n, l1, l2, l3 = struct.unpack_from("<IIII", blob, 0)
-    o = 16
+    n, l1, l2, l3 = struct.unpack_from("<QQQQ", blob, 0)
+    o = HEADER_BYTES
     deltas = varbyte_decode(blob[o : o + l1]).astype(np.int64)
     tfs = varbyte_decode(blob[o + l1 : o + l1 + l2]).astype(np.int64)
     dls = varbyte_decode(blob[o + l1 + l2 : o + l1 + l2 + l3]).astype(np.int64)
@@ -127,8 +134,8 @@ def merge_postings_fast(blobs: list[bytes], last_doc_ids: list[int]) -> bytes:
     dl_parts: list[bytes] = []
     prev_last: int | None = None
     for blob, last_id in zip(blobs, last_doc_ids):
-        n, l1, l2, l3 = struct.unpack_from("<IIII", blob, 0)
-        o = 16
+        n, l1, l2, l3 = struct.unpack_from("<QQQQ", blob, 0)
+        o = HEADER_BYTES
         ids_b = blob[o : o + l1]
         tf_b = blob[o + l1 : o + l1 + l2]
         dl_b = blob[o + l1 + l2 : o + l1 + l2 + l3]
@@ -148,7 +155,7 @@ def merge_postings_fast(blobs: list[bytes], last_doc_ids: list[int]) -> bytes:
     ids_all = b"".join(ids_parts)
     tf_all = b"".join(tf_parts)
     dl_all = b"".join(dl_parts)
-    header = struct.pack("<IIII", n_total, len(ids_all), len(tf_all), len(dl_all))
+    header = struct.pack("<QQQQ", n_total, len(ids_all), len(tf_all), len(dl_all))
     return header + ids_all + tf_all + dl_all
 
 

@@ -33,3 +33,54 @@ def topk_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def global_topn_ranked(
+    df: DataFrame,
+    order: list[tuple[str, bool]],
+    n: int,
+    rank_col: str = "r",
+) -> DataFrame:
+    """Global top-N with a 1-based rank column, WITHOUT any partition-less
+    window anywhere in the plan.
+
+    orderBy().limit(n) plans TakeOrderedAndProject (per-partition top-N, then
+    a single O(n) merge). The rank is then computed over the ≤ n surviving
+    rows by a broadcast self-join count (rank = 1 + #rows strictly before) —
+    n² ≤ 400 comparisons for n = 20, and the plan stays WindowExec-free so
+    the scale linter (plans.global_window_violations) and the executor logs
+    stay clean.
+
+    ``order``: [(col, descending?), ...] — must be a TOTAL order (include a
+    unique tie-break column) or ranks will collide.
+    """
+    sort_cols = [F.desc(c) if d else F.asc(c) for c, d in order]
+    top = df.orderBy(*sort_cols).limit(n)
+    t = top.alias("t")
+    u = top.select(*[c for c, _ in order]).alias("u")
+
+    def before(i: int):
+        """u strictly before t on the i-prefix: equal on keys < i, then key i."""
+        cond = F.lit(True)
+        for c, _ in order[:i]:
+            cond = cond & (F.col(f"u.{c}") == F.col(f"t.{c}"))
+        c, desc = order[i]
+        cmp = (
+            F.col(f"u.{c}") > F.col(f"t.{c}")
+            if desc
+            else F.col(f"u.{c}") < F.col(f"t.{c}")
+        )
+        return cond & cmp
+
+    strictly_before = before(0)
+    for i in range(1, len(order)):
+        strictly_before = strictly_before | before(i)
+    first_key = order[0][0]
+    counted = (
+        t.join(F.broadcast(u), strictly_before, "left")
+        .groupBy(*[F.col(f"t.{c}") for c in top.columns])
+        .agg(
+            (F.count(F.col(f"u.{first_key}")) + 1).cast("int").alias(rank_col)
+        )
+    )
+    return counted.select(*top.columns, rank_col)

@@ -39,6 +39,62 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df)
 
 
+def _top_level_groups(s: str) -> list[str]:
+    """Top-level [...] group contents in a plan-node argument string."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def global_window_violations(df: DataFrame) -> list[str]:
+    """Partition-less Window nodes NOT bounded by a limit below them.
+
+    A `Window` with no partitionBy moves ALL rows to one reducer — the
+    classic scale-killer. It is only acceptable when a GlobalLimit /
+    TakeOrderedAndProject below it has already shrunk the input to O(k) rows
+    (e.g. ranking the final top-N). Window prints its arg groups as
+    ``[exprs], [partitionSpec], [orderSpec]``; partitionSpec/orderSpec are
+    omitted when empty, and orderSpec entries carry ASC/DESC markers — a
+    partition-less ordered window is therefore exactly 2 groups with ordering
+    markers in the last one (vs a partitioned unordered window's plain cols).
+    """
+    lines = physical_plan(df).splitlines()
+    viol = []
+    for i, line in enumerate(lines):
+        if "Window [" not in line:
+            continue
+        groups = _top_level_groups(line.split("Window ", 1)[1])
+        if len(groups) >= 3:
+            continue  # partitioned + ordered
+        if len(groups) == 2 and not (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        ):
+            continue  # partitioned, unordered (whole-partition frame)
+        below = "\n".join(lines[i + 1 :])
+        if not any(
+            tag in below
+            for tag in ("GlobalLimit", "TakeOrderedAndProject", "CollectLimit")
+        ):
+            viol.append(line.strip())
+    return viol
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Count distinct whole-stage-codegen spans in the FINAL plan.
 

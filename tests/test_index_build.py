@@ -70,25 +70,17 @@ def test_global_merge_consistency(spark, built, tiny_corpus):
 def test_manifest_fingerprint_invariant(spark, built):
     """Per-row invariant: manifest fingerprint == recomputed sha256 over the
     (doc_id, content_sha) of the docs table (BASELINE.json:input_hint)."""
+    from dense_retriever_spark.index.build import _fingerprint_df
+
     manifest = _read_manifest(built)
     assert len(manifest) == 4
     recomputed = {
         r["shard"]: r["fp"]
-        for r in spark.read.parquet(built.docs)
-        .groupBy("shard")
-        .agg(
-            F.sha2(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("doc_id", "content_sha"))),
-                        lambda s: F.concat_ws(":", s["doc_id"], s["content_sha"]),
-                    ),
-                ),
-                256,
-            ).alias("fp")
-        )
-        .collect()
+        for r in _fingerprint_df(
+            spark.read.parquet(built.docs).withColumn(
+                "shard", F.col("shard").cast("long")
+            )
+        ).collect()
     }
     for sid, row in manifest.items():
         assert row["status"] == "complete"
@@ -103,7 +95,7 @@ def test_resume_rebuilds_only_missing_shards(spark, tiny_corpus, built, tmp_path
     cp = IndexPaths(clone)
     for sid in (1, 2):
         shutil.rmtree(os.path.join(cp.shards, f"shard={sid}"))
-        os.remove(os.path.join(cp.manifest, f"shard_{sid:06d}.json"))
+        shutil.rmtree(os.path.join(cp.manifest, f"shard_id={sid}"))
     untouched = os.path.join(cp.shards, "shard=0")
     mtime_before = max(
         os.path.getmtime(os.path.join(untouched, f)) for f in os.listdir(untouched)
@@ -115,3 +107,53 @@ def test_resume_rebuilds_only_missing_shards(spark, tiny_corpus, built, tmp_path
     assert mtime_before == mtime_after, "completed shard was rebuilt"
     assert _index_content(spark, cp) == _index_content(spark, built)
     assert len(_read_manifest(cp)) == 4
+
+
+def test_resume_rebuilds_stale_shards_on_input_change(spark, built, tmp_path):
+    """If the corpus changed between runs, shards whose stored fingerprint no
+    longer matches are REBUILT, not silently merged (resume trusts the
+    fingerprint, not just status=complete)."""
+    from dense_retriever_spark.corpus import ingest, synth_corpus
+
+    clone = str(tmp_path / "index_stale")
+    shutil.copytree(built.root, clone)
+    cp = IndexPaths(clone)
+    # a different corpus (different seed) → every shard's fingerprint changes
+    changed = ingest(synth_corpus(spark, 200, seed=99))
+    build_index(changed, clone, docs_per_shard=64, term_buckets=4)
+    assert _index_content(spark, cp) != _index_content(spark, built)
+    # and the rebuilt index must be self-consistent with ITS docs table
+    manifest = _read_manifest(cp)
+    from dense_retriever_spark.index.build import _fingerprint_df
+
+    recomputed = {
+        r["shard"]: r["fp"]
+        for r in _fingerprint_df(
+            spark.read.parquet(cp.docs).withColumn("shard", F.col("shard").cast("long"))
+        ).collect()
+    }
+    assert all(
+        row["input_fingerprint"] == recomputed[sid] for sid, row in manifest.items()
+    )
+
+
+def test_resume_state_is_not_driver_resident(spark, tiny_corpus, tmp_path, monkeypatch):
+    """The build may collect only O(n_batches) rows — never one row per shard.
+    200 docs / 8 per shard = 25 shards, batch 5 → 5 batches; allow the small
+    fixed driver collects (doc-id offsets ~4 pids, batch summary ≤ 6 rows)."""
+    # Spark 4: pyspark.sql.DataFrame is a facade — patch the classic impl
+    from pyspark.sql.classic.dataframe import DataFrame as SDF
+
+    collected_sizes = []
+    orig = SDF.collect
+
+    def counting_collect(self):
+        out = orig(self)
+        collected_sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(SDF, "collect", counting_collect)
+    d = str(tmp_path / "idx_driver")
+    build_index(tiny_corpus, d, docs_per_shard=8, term_buckets=4, shard_batch=5)
+    n_shards = 25
+    assert max(collected_sizes) < n_shards / 2, collected_sizes
