@@ -23,13 +23,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dense_retriever_spark.contract import QUERIES
     from dense_retriever_spark.contract2 import QUERIES2
     from dense_retriever_spark.contract3 import QUERIES3
+    from dense_retriever_spark.contract4 import QUERIES4
 
-    return {**QUERIES, **QUERIES2, **QUERIES3}
+    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4}
 
 
 def oracle_sql() -> dict[str, str]:
     from dense_retriever_spark.contract import ORACLES
     from dense_retriever_spark.contract2 import ORACLES2
     from dense_retriever_spark.contract3 import ORACLES3
+    from dense_retriever_spark.contract4 import ORACLES4
 
-    return {**ORACLES, **ORACLES2, **ORACLES3}
+    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4}

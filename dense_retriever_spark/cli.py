@@ -1,10 +1,21 @@
 """spark-submit entry points mirroring the reference's retrieval CLI.
 
-Reference: 12 click commands (cli/__init__.py:15-26); the three retrieval ones
-(search_from_prebuilt, search_from_scratch, evaluate_index,
-cli/ann_index.py:6-61) map to build-index / search / evaluate here. Package
-with ``python tools/package.py`` → ``spark-submit --py-files engine.zip
--m dense_retriever_spark.cli <cmd> ...`` (or python -m locally).
+Reference: 12 click commands (cli/__init__.py:15-26). Mapping:
+  search_from_prebuilt / search_from_scratch / evaluate_index
+    → build-index / search / evaluate (cli/ann_index.py:6-61)
+  construct_query_samples → construct-samples (cli/preprocessing.py:8-14)
+  construct_train_set → build-train-set (cli/preprocessing.py:25-34)
+  tokenize_train_set / tokenize_test_set → tokenize-set (:37-60; HF BERT
+    tokenizer replaced by the engine's code tokenizer — no torch in-scope)
+  extract_texts_for_inference → extract-texts
+  train_model_with_refresh → refresh (pipeline.refresh_rounds; the PyTorch
+    training step is out of scope for an analytics engine, the data loop —
+    search → mine negatives → rebuild — is fully implemented)
+  train_model / run_inference / build_encoding_cache → out of scope (GPU
+    model training/inference; the KV cache join exists as contract3.q28).
+
+Package with ``python tools/package.py`` → ``spark-submit --py-files
+engine.zip -m dense_retriever_spark.cli <cmd> ...`` (or python -m locally).
 """
 
 from __future__ import annotations
@@ -73,6 +84,83 @@ def cmd_evaluate(args) -> None:
     print(json.dumps({"mrr": mrr(rr).collect()[0]["mrr"]}))
 
 
+def cmd_construct_samples(args) -> None:
+    spark = _spark(args)
+    from dense_retriever_spark.operators.negatives import construct_query_samples
+    from dense_retriever_spark.sources.readers import read_qrels, read_queries_tsv
+
+    queries = read_queries_tsv(spark, args.queries)
+    qrels = read_qrels(spark, args.qrels)
+    out = construct_query_samples(queries, qrels)
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"samples": args.out, "rows": out.count()}))
+
+
+def cmd_build_train_set(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.operators.negatives import (
+        build_train_set,
+        mine_hard_negatives,
+    )
+    from dense_retriever_spark.operators.rank_metrics import (
+        results_as_ranked_lists,
+    )
+
+    samples = spark.read.parquet(args.samples)
+    results = results_as_ranked_lists(
+        spark.read.parquet(args.results), id_to_str=False
+    )
+    mined = mine_hard_negatives(samples, results, seed=args.seed)
+    docs = spark.read.parquet(args.docs).select(
+        "doc_id", F.col(args.text_col).alias("text")
+    )
+    train = build_train_set(mined, docs)
+    train.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"train_set": args.out, "rows": train.count()}))
+
+
+def cmd_tokenize_set(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.functions.tokenizer import tokenize_code_expr
+
+    df = spark.read.parquet(args.dataset)
+    out = df.withColumn("tokens", tokenize_code_expr(F.col(args.text_col)))
+    if args.max_length:
+        out = out.withColumn("tokens", F.slice("tokens", 1, args.max_length))
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"tokenized": args.out, "rows": out.count()}))
+
+
+def cmd_extract_texts(args) -> None:
+    spark = _spark(args)
+    df = spark.read.parquet(args.dataset).select(args.id_col, args.text_col)
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"texts": args.out, "rows": df.count()}))
+
+
+def cmd_refresh(args) -> None:
+    spark = _spark(args)
+    from dense_retriever_spark.pipeline import refresh_rounds
+    from dense_retriever_spark.schemas import CORPUS_SCHEMA
+    from dense_retriever_spark.sources.readers import read_qrels, read_queries_tsv
+
+    batches = [
+        spark.read.schema(CORPUS_SCHEMA).parquet(p)
+        for p in args.corpus_batches.split(",")
+    ]
+    queries = read_queries_tsv(spark, args.queries)
+    qrels = read_qrels(spark, args.qrels)
+    rounds = refresh_rounds(
+        spark, batches, queries, qrels, args.workdir,
+        k=args.top_n, docs_per_shard=args.docs_per_shard,
+    )
+    print(json.dumps({"workdir": args.workdir, "rounds": rounds}))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="dense-retriever-spark")
     p.add_argument("--master", default=None)
@@ -98,6 +186,45 @@ def main(argv=None) -> None:
     e.add_argument("--qrels", required=True)
     e.add_argument("--out", required=True)
     e.set_defaults(fn=cmd_evaluate)
+
+    cs = sub.add_parser("construct-samples")
+    cs.add_argument("--queries", required=True, help="TSV qid\\ttext")
+    cs.add_argument("--qrels", required=True, help="space-separated qrels")
+    cs.add_argument("--out", required=True)
+    cs.set_defaults(fn=cmd_construct_samples)
+
+    bt = sub.add_parser("build-train-set")
+    bt.add_argument("--samples", required=True, help="construct-samples parquet")
+    bt.add_argument("--results", required=True, help="search results parquet")
+    bt.add_argument("--docs", required=True, help="docs parquet (doc_id + text col)")
+    bt.add_argument("--text-col", default="content")
+    bt.add_argument("--seed", type=int, default=0)
+    bt.add_argument("--out", required=True)
+    bt.set_defaults(fn=cmd_build_train_set)
+
+    tk = sub.add_parser("tokenize-set")
+    tk.add_argument("--dataset", required=True)
+    tk.add_argument("--text-col", default="doc")
+    tk.add_argument("--max-length", type=int, default=512)  # reference default
+    tk.add_argument("--out", required=True)
+    tk.set_defaults(fn=cmd_tokenize_set)
+
+    ex = sub.add_parser("extract-texts")
+    ex.add_argument("--dataset", required=True)
+    ex.add_argument("--id-col", default="doc_id")
+    ex.add_argument("--text-col", default="text")
+    ex.add_argument("--out", required=True)
+    ex.set_defaults(fn=cmd_extract_texts)
+
+    rf = sub.add_parser("refresh")
+    rf.add_argument("--corpus-batches", required=True,
+                    help="comma-separated parquet paths, one per round")
+    rf.add_argument("--queries", required=True)
+    rf.add_argument("--qrels", required=True)
+    rf.add_argument("--workdir", required=True)
+    rf.add_argument("--top-n", type=int, default=10)
+    rf.add_argument("--docs-per-shard", type=int, default=1 << 14)
+    rf.set_defaults(fn=cmd_refresh)
 
     args = p.parse_args(argv)
     args.fn(args)

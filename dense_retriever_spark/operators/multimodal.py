@@ -25,14 +25,30 @@ FEATURE_SCHEMA = (
 
 
 def synth_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake binary assets (stand-in for real media files)."""
+    """Deterministic fake binary assets (stand-in for real media files).
+
+    Every derived value is SQL-reproducible so the driver's DuckDB oracle can
+    hash-verify the whole mapInPandas feature path (contract2.Q25_SQL):
+    kind from an md5-derived integer hash (same construction as
+    operators.dedup._hash60 — verified bit-equal to DuckDB's
+    CAST('0x'||substr(md5(..),1,15) AS BIGINT)), payload = the UTF-8 bytes of
+    a sha256 hex string truncated to a per-row length in [16, 64]."""
+    kind_h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"k{seed}:"), F.col("id"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    plen = (F.lit(16) + F.pmod(F.col("id"), F.lit(49))).cast("int")
     df = spark.range(n).select(
         F.col("id").alias("asset_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.pmod(F.xxhash64(F.lit(seed), "id"), F.lit(3)) + 1).cast("int"),
+            (F.pmod(kind_h, F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
-        F.sha2(F.concat(F.lit(seed), F.col("id")), 256).cast("binary").alias("payload"),
+        F.sha2(F.concat(F.lit(seed), F.col("id")), 256)
+        .substr(F.lit(1), plen)
+        .cast("binary")
+        .alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),

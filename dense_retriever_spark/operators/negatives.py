@@ -29,19 +29,25 @@ def construct_query_samples(queries: DataFrame, qrels: DataFrame) -> DataFrame:
 
 
 def mine_hard_negatives(
-    samples: DataFrame, search_results: DataFrame
+    samples: DataFrame, search_results: DataFrame, seed: int = 0
 ) -> DataFrame:
     """J2 + P5 + R2: pick one deterministic hard negative per query.
 
     candidates = search_results minus the positive; pick index =
-    xxhash64(query_id) mod |candidates| (seeded determinism replacing the
-    reference's unseeded np.random.choice, preprocessing.py:93-98).
+    xxhash64(seed, query_id) mod |candidates| (seeded determinism replacing
+    the reference's unseeded np.random.choice, preprocessing.py:93-98). The
+    refresh loop passes the round number as ``seed`` so successive rounds
+    explore different negatives even where the candidate lists overlap —
+    the analog of the reference's retrained-model drift between rounds.
     Output: (query_id, query, positive_doc_id, hard_negative_id).
     """
     joined = samples.join(search_results, "query_id")
     cands = F.array_remove(F.col("search_results"), F.col("positive_doc_id"))
     pick = F.element_at(
-        cands, (F.pmod(F.xxhash64("query_id"), F.size(cands)) + 1).cast("int")
+        cands,
+        (F.pmod(F.xxhash64(F.lit(seed), "query_id"), F.size(cands)) + 1).cast(
+            "int"
+        ),
     )
     return joined.filter(F.size(cands) > 0).select(
         "query_id", "query", "positive_doc_id", pick.alias("hard_negative_id")
@@ -65,6 +71,30 @@ def build_train_set(mined: DataFrame, docs: DataFrame) -> DataFrame:
         .select("query", F.col("text").alias("doc"), F.lit(1).alias("label"))
     )
     return pos.unionByName(neg)
+
+
+def shuffle_rows(df: DataFrame, seed: int = 42, key_cols: list[str] | None = None) -> DataFrame:
+    """R1: seeded full-row shuffle — a deterministic global permutation.
+
+    Reference analog: ``df.sample(frac=1)`` (unseeded shuffle,
+    /root/reference/dense_retriever/transforms/preprocessing.py:126). Here the
+    permutation is a pure function of the row: sort by an md5-derived 60-bit
+    hash of (seed, key columns) — reproducible across runs, partitionings and
+    engines (the DuckDB oracle recomputes the identical order). The sort is a
+    range-partitioned total sort (Spark samples bounds), which scales like
+    any global sort; callers that only need a decorrelated ORDER WITHIN
+    partitions can sortWithinPartitions on the same hash for zero shuffle.
+    Output adds the sort key as ``_shuffle_key`` (drop it if unwanted).
+    """
+    cols = key_cols or df.columns
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.lit(f"shuf{seed}"), *cols)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("_shuffle_key", h).orderBy("_shuffle_key", *cols)
 
 
 def train_test_split(df: DataFrame, test_frac: float = 0.2, seed: int = 42):

@@ -34,17 +34,28 @@ def results_as_ranked_lists(results: DataFrame, id_to_str: bool = True) -> DataF
 
 
 def reciprocal_rank(
-    ranked_lists: DataFrame, qrels: DataFrame, positive_col: str = "positive_doc_id"
+    ranked_lists: DataFrame,
+    qrels: DataFrame,
+    positive_col: str = "positive_doc_id",
+    k: int | None = None,
 ) -> DataFrame:
     """(query_id, reciprocal_rank) — RR = 1/position, 0.0 if not found.
 
     Exact twin of _calc_reciprocal_rank
     (/root/reference/dense_retriever/transforms/ann_index.py:122-129), as
     array_position + when instead of a row-wise apply. qrels side is small →
-    broadcast.
+    broadcast. ``k`` cuts the list to its first k entries first — the
+    reference reports MRR@{k} with k inferred from the returned list length
+    (ann_index.py:153-156); here the cutoff is explicit so a top-100 result
+    set can still score MRR@10.
     """
     joined = ranked_lists.join(F.broadcast(qrels), "query_id")
-    pos = F.array_position(F.col("search_results"), F.col(positive_col))
+    lst = (
+        F.slice(F.col("search_results"), 1, k)
+        if k is not None
+        else F.col("search_results")
+    )
+    pos = F.array_position(lst, F.col(positive_col))
     return joined.select(
         "query_id",
         F.when(pos > 0, F.lit(1.0) / pos.cast("double"))

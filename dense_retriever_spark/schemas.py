@@ -12,7 +12,6 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     DoubleType,
-    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -69,16 +68,12 @@ SEARCH_RESULT_SCHEMA = StructType(
     ]
 )
 
-# Inverted-index shard rows (FIXTURES.md §7)
-BLOCK_META_SCHEMA = ArrayType(
-    StructType(
-        [
-            StructField("last_doc_id", LongType(), False),
-            StructField("max_score", FloatType(), False),
-        ]
-    )
-)
-INDEX_SHARD_SCHEMA = StructType(
+# Inverted-index rows — matches exactly what index/build.py writes
+# (POSTING_ROW_SCHEMA / GLOBAL_ROW_SCHEMA): block metadata is the STATS-FREE
+# (max_tf, min_dl) pair, upper-bounded at query time with the live avgdl
+# (codec.block_meta rationale); `shard` rides as a partition column in
+# shards/ and is absent from global/.
+INDEX_GLOBAL_SCHEMA = StructType(
     [
         StructField("term", StringType(), False),
         StructField("df", LongType(), False),
@@ -86,8 +81,12 @@ INDEX_SHARD_SCHEMA = StructType(
         StructField("n_blocks", IntegerType(), False),
         StructField("postings", BinaryType(), False),
         StructField("block_last_doc_id", ArrayType(LongType()), False),
-        StructField("block_max_tfn", ArrayType(DoubleType()), False),
+        StructField("block_max_tf", ArrayType(LongType()), False),
+        StructField("block_min_dl", ArrayType(LongType()), False),
     ]
+)
+INDEX_SHARD_SCHEMA = StructType(
+    [StructField("shard", LongType(), False)] + list(INDEX_GLOBAL_SCHEMA.fields)
 )
 
 # qrels / queries in the reference's file shapes

@@ -65,6 +65,14 @@ def stateful_user_sessions(
     folds its events (sorted by ts) into the state and emits one updated row
     per user: (user_id, n_sessions, n_events). This is the stream twin of the
     batch sessionization in contract2.q24_sessionize.
+
+    The group's Arrow chunks are CONCATENATED and sorted once before the fold
+    — a group larger than maxRecordsPerBatch arrives as several chunks whose
+    timestamps may interleave, and a per-chunk sort would silently fold
+    cross-chunk out-of-order gaps as same-session. Events arriving LATE
+    relative to a previous micro-batch (ts < state.last_ts) are still counted
+    best-effort against the current session — cross-micro-batch reordering is
+    inherent to update-mode streaming without a watermark.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -78,10 +86,10 @@ def stateful_user_sessions(
         )
         import numpy as np
 
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            ts = np.sort(pdf["ts"].astype("int64").to_numpy() / 1e9)
+        chunks = [pdf["ts"].astype("int64").to_numpy() / 1e9
+                  for pdf in pdfs if len(pdf)]
+        if chunks:
+            ts = np.sort(np.concatenate(chunks))
             prev = np.r_[last_ts if last_ts is not None else -np.inf, ts[:-1]]
             n_sessions += int(((ts - prev) > gap_seconds).sum())
             n_events += ts.size

@@ -1,0 +1,78 @@
+"""Round-2 dedup/similarity guarantees: LSH bucket guards (no quadratic
+blowup on exact-dup clusters) and measured SRP-LSH recall vs the bruteforce
+oracle (VERDICT r1 items 6-8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def dup_heavy(spark):
+    """1,000 byte-identical docs + 4 hand-made near-dup variants + filler."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [(i, base) for i in range(1000)]
+    rows += [
+        (1000, base + " kilo"),
+        (1001, base + " lima"),
+        (1002, "totally different words nothing shared here at all ok then"),
+        (1003, "another unrelated document with its own vocabulary entirely"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_collapses_exact_duplicates(spark, dup_heavy):
+    """The 1,000-identical cluster must contribute ~1 representative, not
+    O(c²) pairs: total candidate pairs stays tiny."""
+    from dense_retriever_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(dup_heavy, n_hashes=16, bands=4).collect()
+    # without the collapse this would be ≥ 1000*999/2 = 499,500 pairs
+    assert len(pairs) < 50, f"quadratic blowup: {len(pairs)} pairs"
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the representative (doc 0) must still pair with the near-dup variants
+    assert (0, 1000) in ids and (0, 1001) in ids
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark, dup_heavy):
+    """With collapse off and a small cap, the giant bucket is dropped whole —
+    the join input is bounded, recall loss is explicit."""
+    from dense_retriever_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        dup_heavy, n_hashes=16, bands=4, collapse_exact=False, max_bucket=10
+    )
+    assert pairs.count() == 0
+
+
+def test_simhash_pairs_find_near_dups(spark, dup_heavy):
+    from dense_retriever_spark.operators.dedup import simhash_pairs
+
+    pairs = simhash_pairs(dup_heavy, bits=16, bands=4, max_hamming=3).collect()
+    assert len(pairs) < 50
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1000) in ids and (0, 1001) in ids
+    assert all(r["hamming"] <= 3 for r in pairs)
+    # the two unrelated docs must not pair with the base cluster
+    assert not any(a in (1002, 1003) or b == 1002 for a, b in ids)
+
+
+def test_srp_ann_recall_vs_bruteforce(spark):
+    """Seeded 64-plane × 16-band SRP-LSH: recall@3 ≥ 0.9 against the exact
+    cosine oracle on the synthetic embeddings (VERDICT r1 item 8)."""
+    from dense_retriever_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        srp_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
+    )
+    exact = cosine_topk_bruteforce(emb, qv, k=3).collect()
+    approx = srp_ann_topk(emb, qv, k=3, dim=64, n_planes=64, bands=16).collect()
+    truth = {(r["query_vec_id"], r["vec_id"]) for r in exact}
+    got = {(r["query_vec_id"], r["vec_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall@3 = {recall:.3f}"

@@ -29,7 +29,12 @@ def test_dedup_exact(spark, docs):
 def test_minhash_lsh_finds_near_dups(spark, docs):
     from dense_retriever_spark.operators.dedup import jaccard_verify, minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(docs, n_hashes=16, bands=8)  # narrow bands: high recall
+    # collapse_exact=False: exact dups surface as pairs (legacy semantics);
+    # the default collapses them to one representative (see
+    # tests/test_dedup_similarity.py for the guard behavior)
+    pairs = minhash_lsh_pairs(
+        docs, n_hashes=16, bands=8, collapse_exact=False
+    )  # narrow bands: high recall
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (0, 2) in got  # exact dup always collides on every band
     verified = jaccard_verify(pairs, docs, threshold=0.5).collect()

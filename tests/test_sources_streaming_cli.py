@@ -122,6 +122,64 @@ def test_cli_end_to_end(spark, tmp_path):
         rows = list(csv.DictReader(f))
     assert any(float(r["reciprocal_rank"]) == 1.0 for r in rows)
 
+    # preprocessing commands (reference cli/preprocessing.py parity):
+    # construct-samples → build-train-set → tokenize-set → extract-texts
+    samples_dir = str(tmp_path / "samples")
+    cli.main(["construct-samples", "--queries", qpath, "--qrels", qrels_path,
+              "--out", samples_dir])
+    samples = spark.read.parquet(samples_dir)
+    assert {"query", "query_id", "positive_doc_id"} <= set(samples.columns)
+
+    # build-train-set needs long ids in results + samples; reuse search
+    # results (doc_id long) with a long-id samples table
+    samples_long = str(tmp_path / "samples_long")
+    samples.withColumn(
+        "positive_doc_id", F.expr("CAST(substr(positive_doc_id, 2) AS LONG)")
+    ).write.parquet(samples_long)
+    train_dir = str(tmp_path / "train")
+    cli.main(["build-train-set", "--samples", samples_long, "--results", rdir,
+              "--docs", f"{idx}/docs", "--text-col", "content",
+              "--out", train_dir])
+    train = spark.read.parquet(train_dir)
+    assert set(train.columns) == {"query", "doc", "label"}
+    assert train.filter("label = 0").count() > 0
+
+    tok_dir = str(tmp_path / "tokenized")
+    cli.main(["tokenize-set", "--dataset", train_dir, "--text-col", "doc",
+              "--max-length", "16", "--out", tok_dir])
+    tok = spark.read.parquet(tok_dir)
+    assert tok.filter(F.size("tokens") > 16).count() == 0
+    assert tok.filter(F.size("tokens") > 0).count() == tok.count()
+
+    texts_dir = str(tmp_path / "texts")
+    cli.main(["extract-texts", "--dataset", f"{idx}/docs",
+              "--id-col", "doc_id", "--text-col", "content",
+              "--out", texts_dir])
+    assert spark.read.parquet(texts_dir).columns == ["doc_id", "content"]
+
+
+def test_cli_refresh(spark, tmp_path):
+    from dense_retriever_spark import cli
+    from dense_retriever_spark.corpus import synth_corpus
+
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    synth_corpus(spark, 120, seed=3).write.parquet(b1)
+    synth_corpus(spark, 80, seed=4).write.parquet(b2)
+    qpath = str(tmp_path / "q.tsv")
+    with open(qpath, "w") as f:
+        f.write("1\tblockMaxWand posting_list\n2\tdef import\n")
+    qrels_path = str(tmp_path / "qrels.txt")
+    with open(qrels_path, "w") as f:
+        f.write("1 0 5 1\n2 0 9 1\n")
+    workdir = str(tmp_path / "wd")
+    cli.main(["refresh", "--corpus-batches", f"{b1},{b2}",
+              "--queries", qpath, "--qrels", qrels_path,
+              "--workdir", workdir, "--top-n", "5",
+              "--docs-per-shard", "64"])
+    assert os.path.exists(f"{workdir}/metrics_round1.json")
+    assert spark.read.parquet(f"{workdir}/train_set_round1").count() > 0
+
 
 def test_plan_quality_bm25(spark):
     """Scale assertions on the flagship plan: broadcast join present, filter
