@@ -195,14 +195,62 @@ SELECT query_vec_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= {_SR
 """
 
 
+# ---------------------------------------------------------------------------
+# q32 — MRR@k with an explicit cutoff (reference reports MRR@{k} with k
+# inferred from the list, transforms/ann_index.py:153-156; here k is a real
+# parameter of rank_metrics.reciprocal_rank)
+# ---------------------------------------------------------------------------
+
+_MRR_K = 3
+
+
+def q32_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract import _ranked_lists
+    from dense_retriever_spark.operators.rank_metrics import reciprocal_rank
+
+    j = _ranked_lists(spark, sf_dir)  # (lang, search_results, positive_doc_id)
+    ranked = j.select(F.col("lang").alias("query_id"), "search_results")
+    qrels = j.select(F.col("lang").alias("query_id"), "positive_doc_id")
+    rr = reciprocal_rank(ranked, qrels, k=_MRR_K)
+    return rr.agg(F.round(F.avg("reciprocal_rank"), 6).alias("mrr_at_k"))
+
+
+Q32_SQL = f"""
+WITH rk AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS r
+  FROM documents
+),
+top AS (
+  SELECT lang, list_transform(array_agg(doc_id ORDER BY r), d -> 'D' || CAST(d AS VARCHAR))
+           AS search_results
+  FROM rk WHERE r <= 10 GROUP BY lang
+),
+pos AS (
+  SELECT lang, 'D' || CAST(min(doc_id) AS VARCHAR) AS positive_doc_id
+  FROM documents GROUP BY lang
+),
+rr AS (
+  SELECT top.lang,
+         CASE WHEN list_position(search_results[1:{_MRR_K}], positive_doc_id) > 0
+              THEN 1.0 / list_position(search_results[1:{_MRR_K}], positive_doc_id)
+              ELSE 0.0 END AS reciprocal_rank
+  FROM top JOIN pos USING (lang)
+)
+SELECT round(avg(reciprocal_rank), 6) AS mrr_at_k FROM rr
+"""
+
+
 QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_shuffled_sample": q29_shuffled_sample,
     "q30_simhash_pairs": q30_simhash_pairs,
     "q31_srp_ann": q31_srp_ann,
+    "q32_mrr_at_k": q32_mrr_at_k,
 }
 
 ORACLES4: dict[str, str] = {
     "q29_shuffled_sample": Q29_SQL,
     "q30_simhash_pairs": Q30_SQL,
     "q31_srp_ann": _q31_sql(),
+    "q32_mrr_at_k": Q32_SQL,
 }

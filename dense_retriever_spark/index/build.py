@@ -19,7 +19,7 @@ PHASE A  (doc-partitioned serving index, ``shards/``)
   no reducer can be overloaded no matter how skewed the term distribution.
 
 PHASE B  (term-merged global index, ``global/``)
-  phase-A rows --repartition(P, xxhash64(term))--> groupBy(term)
+  phase-A rows --exchange on xxhash64(term) mod P--> groupBy(term bucket)
   → order-preserving merge of sub-postings (shard ranges are disjoint and
   sorted, so merge = concat) → global (term, df, cf, postings, block meta).
   This is the "merges shards with salted-key skew mitigation" step of the
@@ -480,13 +480,18 @@ def build_index(
     todo_df.unpersist()
     mark("phase_a")
 
-    # phase B: term-merged global index (explicit term-hash repartition)
+    # phase B: term-merged global index. The term-hash repartitioning IS the
+    # groupBy's own exchange on _g = xxhash64(term) mod P — bucketed grouping
+    # gives P pandas groups (sub-grouped by term inside the UDF) instead of
+    # one tiny group per distinct term, and hashing the term (not the shard)
+    # is the skew salt for the merge. NOTE: an explicit .repartition(P,
+    # xxhash64(term)) before this groupBy would NOT be reused by it (different
+    # partitioner) — it doubled the shuffle, moving every posting byte twice
+    # (measured 2 Exchanges vs 1; removed in round 2).
     shards_df = spark.read.parquet(paths.shards)
     p = merge_partitions or spark.sparkContext.defaultParallelism
     merged = (
-        shards_df.repartition(p, F.xxhash64("term"))
-        # bucketed grouping: P pandas groups (sub-grouped by term inside the
-        # UDF), not one tiny group per distinct term
+        shards_df
         .groupBy(F.pmod(F.xxhash64("term"), F.lit(p)).alias("_g"))
         .applyInPandas(_merge_term_groups, schema=GLOBAL_ROW_SCHEMA)
     )
