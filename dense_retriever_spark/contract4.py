@@ -140,28 +140,31 @@ def q31_srp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_key_expr_sql(planes, bands: int, vec: str, b: int) -> str:
+    """DuckDB band-key expression with the SAME seeded hyperplanes as the
+    operator — plane values are emitted with repr(), which round-trips
+    float64 exactly, so the sign bits (rounded to 6dp before the test) match
+    bit-for-bit."""
+    w = planes.shape[0] // bands
+    terms = []
+    for j in range(w):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[b * w + j]) + "]"
+        terms.append(
+            f"(CASE WHEN round(list_dot_product(CAST({vec} AS DOUBLE[]), {lit}), 6) > 0 "
+            f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def _q31_sql() -> str:
-    """Oracle with the SAME seeded hyperplanes as the operator — plane values
-    are emitted with repr(), which round-trips float64 exactly, so the sign
-    bits (rounded to 6dp before the test) match bit-for-bit."""
     from dense_retriever_spark.operators.similarity import srp_planes
 
     planes = srp_planes(_SRP_DIM, _SRP_PLANES, _SRP_SEED)
-    w = _SRP_PLANES // _SRP_BANDS
-
-    def key_expr(vec: str, b: int) -> str:
-        terms = []
-        for j in range(w):
-            lit = "[" + ", ".join(repr(float(x)) for x in planes[b * w + j]) + "]"
-            terms.append(
-                f"(CASE WHEN round(list_dot_product(CAST({vec} AS DOUBLE[]), {lit}), 6) > 0 "
-                f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
-            )
-        return "(" + " + ".join(terms) + ")"
 
     def banded(src: str, idc: str, vec: str, alias: str) -> str:
         sel = " UNION ALL ".join(
-            f"SELECT {idc}, {vec} AS v, {b} AS band_id, {key_expr(vec, b)} AS band_key FROM {src}"
+            f"SELECT {idc}, {vec} AS v, {b} AS band_id, "
+            f"{_srp_key_expr_sql(planes, _SRP_BANDS, vec, b)} AS band_key FROM {src}"
             for b in range(_SRP_BANDS)
         )
         return f"{alias} AS ({sel})"
@@ -241,11 +244,117 @@ SELECT round(avg(reciprocal_rank), 6) AS mrr_at_k FROM rr
 """
 
 
+# ---------------------------------------------------------------------------
+# q33/q34 — multimodal resize + frame-sample plumbing (1:1 and 1:N
+# mapInPandas shapes); stubs emit SQL-reproducible fingerprints so the whole
+# Arrow path is hash-verified even though the pixel work is fake
+# ---------------------------------------------------------------------------
+
+_ASSET_SQL = """
+  SELECT id AS asset_id,
+         ['image','audio','video'][
+           (CAST('0x' || substr(md5('k42:' || id::VARCHAR), 1, 15) AS BIGINT)
+            % 3)::INT + 1] AS kind,
+         substr(sha256('42' || id::VARCHAR), 1, (16 + id % 49)::INT)
+           AS payload_str
+  FROM range(300) t(id)
+"""
+
+
+def q33_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.multimodal import (
+        resize_images,
+        synth_assets,
+    )
+
+    return resize_images(synth_assets(spark, 300), width=64, height=48).select(
+        "asset_id", "width", "height", "out_bytes", "resize_sha"
+    )
+
+
+Q33_SQL = f"""
+WITH a AS ({_ASSET_SQL})
+SELECT asset_id, 64 AS width, 48 AS height, (64*48*3)::BIGINT AS out_bytes,
+       sha256(sha256(payload_str) || ':64x48') AS resize_sha
+FROM a WHERE kind = 'image'
+"""
+
+
+def q34_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.multimodal import (
+        sample_frames,
+        synth_assets,
+    )
+
+    return sample_frames(synth_assets(spark, 300), n_frames=4)
+
+
+Q34_SQL = f"""
+WITH a AS ({_ASSET_SQL})
+SELECT asset_id, f.i::INT AS frame_idx,
+       sha256(sha256(payload_str) || ':' || f.i::VARCHAR) AS frame_sha
+FROM a, range(0, 4) f(i) WHERE kind = 'video'
+"""
+
+# ---------------------------------------------------------------------------
+# q35 — embedding-cosine near-dup pairs (SRP-banded self-join, exact verify)
+# ---------------------------------------------------------------------------
+
+_ND_THRESH = 0.4
+
+
+def q35_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, threshold=_ND_THRESH, dim=_SRP_DIM, n_planes=_SRP_PLANES,
+        bands=_SRP_BANDS, seed=_SRP_SEED,
+    )
+
+
+def _q35_sql() -> str:
+    from dense_retriever_spark.operators.similarity import srp_planes
+
+    planes = srp_planes(_SRP_DIM, _SRP_PLANES, _SRP_SEED)
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id, embedding AS v, {b} AS band_id, "
+        f"{_srp_key_expr_sql(planes, _SRP_BANDS, 'embedding', b)} AS band_key "
+        f"FROM embeddings"
+        for b in range(_SRP_BANDS)
+    )
+    cos = (
+        "round(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) / "
+        "greatest(sqrt(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(a.v AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(b.v AS DOUBLE[]), CAST(b.v AS DOUBLE[]))), 1e-12), 6)"
+    )
+    return f"""
+WITH eb AS ({banded}),
+sizes AS (
+  SELECT band_id, band_key, count(*) AS n FROM eb GROUP BY band_id, band_key
+),
+bounded AS (
+  SELECT eb.* FROM eb JOIN sizes USING (band_id, band_key)
+  WHERE sizes.n BETWEEN 2 AND 1024
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM bounded a
+JOIN bounded b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+WHERE {cos} >= {_ND_THRESH}
+"""
+
+
 QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_shuffled_sample": q29_shuffled_sample,
     "q30_simhash_pairs": q30_simhash_pairs,
     "q31_srp_ann": q31_srp_ann,
     "q32_mrr_at_k": q32_mrr_at_k,
+    "q33_resize_images": q33_resize_images,
+    "q34_sample_frames": q34_sample_frames,
+    "q35_embedding_near_dups": q35_embedding_near_dups,
 }
 
 ORACLES4: dict[str, str] = {
@@ -253,4 +362,7 @@ ORACLES4: dict[str, str] = {
     "q30_simhash_pairs": Q30_SQL,
     "q31_srp_ann": _q31_sql(),
     "q32_mrr_at_k": Q32_SQL,
+    "q33_resize_images": Q33_SQL,
+    "q34_sample_frames": Q34_SQL,
+    "q35_embedding_near_dups": _q35_sql(),
 }

@@ -93,3 +93,83 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return assets.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "asset_id long, kind string, width int, height int, out_bytes long, "
+    "resize_sha string"
+)
+
+
+def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """mapInPandas image resize — 1:1 row shape, images only.
+
+    The kind filter is a plain predicate BEFORE the UDF, so Catalyst pushes
+    it to the scan and non-image payload bytes are never Arrow-transferred.
+    The pixel work is STUBBED (no PIL in this container): the output is the
+    real resize metadata plus a deterministic content fingerprint
+    resize_sha = sha256(payload_sha ':' WxH), which the DuckDB oracle
+    reproduces — so the full Arrow batch path is hash-verified even though
+    the decoder is fake. A real deployment swaps ONLY the body marked below.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # --- STUB: real impl decodes pdf["payload"], resizes, re-encodes
+            shas = [hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]]
+            out_sha = [
+                hashlib.sha256(f"{s}:{width}x{height}".encode()).hexdigest()
+                for s in shas
+            ]
+            # --- end stub
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "width": width,
+                    "height": height,
+                    "out_bytes": width * height * 3,
+                    "resize_sha": out_sha,
+                }
+            )
+
+    return assets.filter(F.col("kind") == "image").mapInPandas(
+        fn, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "asset_id long, frame_idx int, frame_sha string"
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
+    """mapInPandas video frame sampling — 1:N row shape, videos only.
+
+    Emits ``n_frames`` rows per video asset, the fan-out batch shape a real
+    ffmpeg sampler produces (one output row per sampled frame; mapInPandas is
+    the right operator because the output cardinality differs from the
+    input's). Frame extraction is STUBBED: frame_sha =
+    sha256(payload_sha ':' frame_idx), SQL-reproducible so the oracle
+    verifies the fan-out exactly.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, shas = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                psha = hashlib.sha256(bytes(p)).hexdigest()
+                for i in range(n_frames):
+                    ids.append(aid)
+                    idxs.append(i)
+                    # --- STUB: real impl seeks to frame i and encodes it
+                    shas.append(
+                        hashlib.sha256(f"{psha}:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_sha": shas}
+            )
+
+    return assets.filter(F.col("kind") == "video").mapInPandas(
+        fn, schema=FRAME_SCHEMA
+    )

@@ -154,6 +154,58 @@ def srp_ann_topk(
     return topk_per_group(scored, "query_vec_id", "cosine", k, id_col="vec_id")
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold)
+    — the embedding leg of the dedup family (task brief: 'embedding-cosine
+    near-dup'), never a cross join.
+
+    Candidates come from a banded SRP self-join (same seeded hyperplanes as
+    srp_ann_topk); exact cosine verifies. High-cosine pairs collide with
+    probability 1-(1-p^w)^bands, p = 1-θ/π — at threshold 0.9 (θ ≈ 0.45 rad)
+    and 64×16 that is > 0.999, so recall on true near-dups is effectively
+    exhaustive while the join touches only same-bucket pairs. Oversized
+    buckets (degenerate embedding clusters) are capped like minhash LSH.
+    """
+    planes = srp_planes(dim, n_planes, seed)
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("bk", F.explode(_srp_band_structs(F.col("vec"), planes, bands)))
+    flat = e.select("vec_id", "vec", "bk.band_id", "bk.band_key")
+    sizes = flat.groupBy("band_id", "band_key").agg(F.count("*").alias("_n"))
+    bounded = flat.join(
+        sizes.filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)),
+        ["band_id", "band_key"],
+        "left_semi",
+    )
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def srp_bucket_expr(vec_col, n_bits: int = 4):
     """Sign-random-projection bucket id from the first n_bits dimensions:
     bit i = (vec[i] > 0). Deterministic, SQL-reproducible; a production setup

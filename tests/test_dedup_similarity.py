@@ -58,6 +58,58 @@ def test_simhash_pairs_find_near_dups(spark, dup_heavy):
     assert not any(a in (1002, 1003) or b == 1002 for a, b in ids)
 
 
+def test_embedding_near_dup_pairs_vs_bruteforce(spark):
+    """SRP-banded near-dup pairs find every bruteforce pair at the
+    threshold (the banding only generates CANDIDATES; exact cosine decides),
+    up to band-collision recall — asserted ≥ 0.9 here, measured exactly."""
+    from dense_retriever_spark.operators.similarity import (
+        cosine_expr,
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("c", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("c") >= 0.4)
+        .collect()
+    }
+    assert truth, "fixture should contain near-dup pairs"
+    assert got <= truth  # no false positives: exact cosine verifies
+    assert len(got) / len(truth) >= 0.9
+
+
+def test_multimodal_resize_and_frames(spark):
+    """1:1 resize (images only, payloads pruned pre-UDF) and 1:N frame
+    fan-out (videos only, n rows per asset)."""
+    from dense_retriever_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_assets,
+    )
+
+    assets = synth_assets(spark, 120)
+    kinds = {r["kind"]: r["n"] for r in
+             assets.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    rz = resize_images(assets, width=32, height=32)
+    assert rz.count() == kinds["image"]
+    assert rz.filter(F.col("out_bytes") != 32 * 32 * 3).count() == 0
+    fr = sample_frames(assets, n_frames=3)
+    assert fr.count() == 3 * kinds["video"]
+    per = fr.groupBy("asset_id").agg(F.count("*").alias("n"))
+    assert per.filter(F.col("n") != 3).count() == 0
+    # deterministic: same input → same fingerprints
+    assert rz.collect() == resize_images(assets, width=32, height=32).collect()
+
+
 def test_srp_ann_recall_vs_bruteforce(spark):
     """Seeded 64-plane × 16-band SRP-LSH: recall@3 ≥ 0.9 against the exact
     cosine oracle on the synthetic embeddings (VERDICT r1 item 8)."""
