@@ -347,6 +347,47 @@ WHERE {cos} >= {_ND_THRESH}
 """
 
 
+# ---------------------------------------------------------------------------
+# q36 — dedup clustering: connected components over the simhash pair graph
+# (pairs → components = the actual dedup decision). Oracle: recursive-CTE
+# transitive closure over the SAME pair relation (Q30).
+# ---------------------------------------------------------------------------
+
+def q36_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.dedup import (
+        connected_components,
+        simhash_pairs,
+    )
+
+    pairs = simhash_pairs(
+        _docs(spark, sf_dir),
+        bits=_SH_BITS,
+        bands=_SH_BANDS,
+        max_hamming=_SH_MAXH,
+        collapse_exact=True,
+        max_bucket=_SH_CAP,
+    )
+    return connected_components(pairs)
+
+
+Q36_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {Q30_SQL}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(n, m) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON e.u = r.m
+)
+SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+"""
+
+
 QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_shuffled_sample": q29_shuffled_sample,
     "q30_simhash_pairs": q30_simhash_pairs,
@@ -355,6 +396,7 @@ QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_resize_images": q33_resize_images,
     "q34_sample_frames": q34_sample_frames,
     "q35_embedding_near_dups": q35_embedding_near_dups,
+    "q36_dedup_components": q36_dedup_components,
 }
 
 ORACLES4: dict[str, str] = {
@@ -365,4 +407,5 @@ ORACLES4: dict[str, str] = {
     "q33_resize_images": Q33_SQL,
     "q34_sample_frames": Q34_SQL,
     "q35_embedding_near_dups": _q35_sql(),
+    "q36_dedup_components": Q36_SQL,
 }

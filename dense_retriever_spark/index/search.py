@@ -144,19 +144,26 @@ def search(
     qmap = {q: [t for t in ts if t in idfs] for q, ts in qmap.items()}
     qmap = {q: ts for q, ts in qmap.items() if ts}
 
-    # 3. scan shards with a pushed-down term filter; score per shard
+    # 3. scan shards with a pushed-down term filter; score per shard.
+    # qmap/idfs ride in an sc.broadcast, NOT the task closure: a closure is
+    # re-pickled into EVERY task (n_shards × |qmap| duplicate bytes — 73 MB
+    # of task payload at 733 shards × a 100 KB query set), a broadcast ships
+    # once per executor and scales to very large query batches.
     dps = stats["docs_per_shard"]
+    bc = spark.sparkContext.broadcast((qmap, idfs))
     shard_rows = (
         spark.read.parquet(paths.shards)
         .filter(F.col("term").isin(present))
         .select("shard", "term", "postings", "block_last_doc_id",
                 "block_max_tf", "block_min_dl")
     )
+
+    def _score(pdf):
+        q, i = bc.value
+        return _score_shard(pdf, q, i, k, k1, b, avgdl, dps, use_blockmax)
+
     local = shard_rows.groupBy("shard").applyInPandas(
-        lambda pdf: _score_shard(
-            pdf, qmap, idfs, k, k1, b, avgdl, dps, use_blockmax
-        ),
-        schema=RESULT_SCHEMA,
+        _score, schema=RESULT_SCHEMA,
     )
     # 4. global exact top-k with the deterministic tie-break
     out = topk_per_group(local.drop("rank"), "query_id", "score", k)

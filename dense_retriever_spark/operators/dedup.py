@@ -215,6 +215,67 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (doc_id, component), where
+    component = the minimum doc_id reachable through the pair graph.
+
+    This is the step that turns pairwise candidates (minhash_lsh_pairs /
+    simhash_pairs / embedding_near_dup_pairs) into dedup DECISIONS: keep one
+    representative per component, drop the rest.
+
+    Min-label propagation as pure DataFrame rounds: each round every node
+    takes the min label among itself and its neighbors — one shuffle
+    (join + groupBy-min) per round, converging in graph-diameter rounds.
+    Dedup graphs are overwhelmingly star/clique-shaped (duplicates of one
+    template), so the diameter is tiny; a long-chain adversarial graph would
+    want the large-star/small-star contraction (O(log n) rounds) instead —
+    same join primitives, noted here as the upgrade path. Lineage is cut
+    with localCheckpoint every ``checkpoint_every`` rounds so the plan stays
+    bounded; driver state per round is ONE scalar (the changed-label count).
+    """
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    # 'node'/'label' names are disjoint from the edge columns so the per-round
+    # edges ⋈ labels self-join never has ambiguous attributes
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(max_iter):
+        neighbor = edges.join(labels, edges["v"] == labels["node"]).select(
+            F.col("u").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("old")), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

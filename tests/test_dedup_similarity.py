@@ -110,6 +110,25 @@ def test_multimodal_resize_and_frames(spark):
     assert rz.collect() == resize_images(assets, width=32, height=32).collect()
 
 
+def test_connected_components(spark):
+    """Pairs → dedup clusters: star, chain, and singleton-pair topologies."""
+    from dense_retriever_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # star at 1: {1,2,3,4}; chain: {10,11,12,13}; pair: {20,21}
+        [(1, 2), (1, 3), (1, 4), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10), (13, 10),
+            (20, 20), (21, 20)}
+    assert got == want
+
+
 def test_srp_ann_recall_vs_bruteforce(spark):
     """Seeded 64-plane × 16-band SRP-LSH: recall@3 ≥ 0.9 against the exact
     cosine oracle on the synthetic embeddings (VERDICT r1 item 8)."""
