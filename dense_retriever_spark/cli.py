@@ -8,6 +8,9 @@ Reference: 12 click commands (cli/__init__.py:15-26). Mapping:
   tokenize_train_set / tokenize_test_set → tokenize-set (:37-60; HF BERT
     tokenizer replaced by the engine's code tokenizer — no torch in-scope)
   extract_texts_for_inference → extract-texts
+  build_encoding_cache → build-term-cache (the reference caches per-text
+    encodings keyed by id; the lexical analog is the per-term statistics
+    cache (term, df, cf) served to query time — q28 is the cache JOIN)
   train_model_with_refresh → refresh (pipeline.refresh_rounds; the PyTorch
     training step is out of scope for an analytics engine, the data loop —
     search → mine negatives → rebuild — is fully implemented)
@@ -142,6 +145,20 @@ def cmd_extract_texts(args) -> None:
     print(json.dumps({"texts": args.out, "rows": df.count()}))
 
 
+def cmd_build_term_cache(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    # postings column pruned by parquet: the cache scan reads 3 columns only
+    stats = spark.read.parquet(f"{args.index_dir}/global").select(
+        "term", "df", "cf"
+    )
+    if args.min_df > 1:
+        stats = stats.filter(F.col("df") >= args.min_df)
+    stats.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"cache": args.out, "terms": stats.count()}))
+
+
 def cmd_refresh(args) -> None:
     spark = _spark(args)
     from dense_retriever_spark.pipeline import refresh_rounds
@@ -215,6 +232,12 @@ def main(argv=None) -> None:
     ex.add_argument("--text-col", default="text")
     ex.add_argument("--out", required=True)
     ex.set_defaults(fn=cmd_extract_texts)
+
+    tc = sub.add_parser("build-term-cache")
+    tc.add_argument("--index-dir", required=True)
+    tc.add_argument("--min-df", type=int, default=1)
+    tc.add_argument("--out", required=True)
+    tc.set_defaults(fn=cmd_build_term_cache)
 
     rf = sub.add_parser("refresh")
     rf.add_argument("--corpus-batches", required=True,

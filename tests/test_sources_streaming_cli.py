@@ -197,6 +197,13 @@ def test_cli_end_to_end(spark, tmp_path):
               "--out", texts_dir])
     assert spark.read.parquet(texts_dir).columns == ["doc_id", "content"]
 
+    cache_dir = str(tmp_path / "term_cache")
+    cli.main(["build-term-cache", "--index-dir", idx, "--min-df", "2",
+              "--out", cache_dir])
+    cache = spark.read.parquet(cache_dir)
+    assert cache.columns == ["term", "df", "cf"]
+    assert cache.filter(F.col("df") < 2).count() == 0
+
 
 def test_cli_refresh(spark, tmp_path):
     from dense_retriever_spark import cli
