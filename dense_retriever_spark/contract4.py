@@ -388,6 +388,78 @@ SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
 """
 
 
+# ---------------------------------------------------------------------------
+# q37 — IVF-style ANN: sampled-vector coarse quantizer, nprobe cell scan.
+# Centroids are rows of the table itself (vec_id % mod == 0), so the oracle
+# reproduces the whole construction with self-joins — no trained state.
+# ---------------------------------------------------------------------------
+
+_IVF_MOD, _IVF_NPROBE = 31, 8
+
+
+def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.similarity import ivf_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_ann_topk(
+        emb, qv, k=_SRP_K, centroid_mod=_IVF_MOD, nprobe=_IVF_NPROBE
+    )
+
+
+_COS37 = (
+    "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "greatest(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), 1e-12), 6)"
+)
+
+Q37_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {_IVF_MOD} = 0
+),
+vass AS (
+  SELECT vec_id, evec, centroid_id FROM (
+    SELECT e.vec_id, e.embedding AS evec, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS37.format(a='e.embedding', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_vec_id, qvec, centroid_id FROM (
+    SELECT q.vec_id AS query_vec_id, q.embedding AS qvec, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS37.format(a='q.embedding', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_vec_id, v.vec_id, p.qvec, v.evec
+  FROM qprobe p JOIN vass v USING (centroid_id)
+  WHERE p.query_vec_id <> v.vec_id
+),
+s AS (
+  SELECT query_vec_id, vec_id,
+         {_COS37.format(a='qvec', b='evec')} AS cosine
+  FROM cand
+),
+r AS (
+  SELECT query_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_vec_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= {_SRP_K}
+"""
+
+
 QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_shuffled_sample": q29_shuffled_sample,
     "q30_simhash_pairs": q30_simhash_pairs,
@@ -397,6 +469,7 @@ QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_sample_frames": q34_sample_frames,
     "q35_embedding_near_dups": q35_embedding_near_dups,
     "q36_dedup_components": q36_dedup_components,
+    "q37_ivf_ann": q37_ivf_ann,
 }
 
 ORACLES4: dict[str, str] = {
@@ -408,4 +481,5 @@ ORACLES4: dict[str, str] = {
     "q34_sample_frames": Q34_SQL,
     "q35_embedding_near_dups": _q35_sql(),
     "q36_dedup_components": Q36_SQL,
+    "q37_ivf_ann": Q37_SQL,
 }

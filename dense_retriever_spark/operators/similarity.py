@@ -206,6 +206,71 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    centroid_mod: int = 31,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_vec_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer + probe-limited exact scan.
+
+    Centroids are SAMPLED VECTORS (every ``centroid_mod``-th row — the
+    classic random-sampling init, and crucially a pure function of the table
+    itself, so the construction works identically at any scale and the
+    DuckDB oracle reproduces it with a plain self-join — no trained state).
+    Every vector is assigned to its top-1 centroid by cosine; a query probes
+    its ``nprobe`` nearest centroids and scans only those cells, exactly.
+    All ordering uses the engine-wide (rounded cosine DESC, id ASC)
+    tie-break, so cell assignment is deterministic cross-engine.
+
+    Honest scale note (measured, tests/test_dedup_similarity.py): on this
+    repo's weakly-clustered synthetic embeddings IVF recalls ≈ 0.77 @ k=3
+    while scanning ≈ 47% of the corpus — the data has little cluster
+    structure for the quantizer to exploit, and the SRP multi-band operator
+    (srp_ann_topk, recall ≈ 0.91) is the better scale path HERE. On real
+    embedding distributions (tight semantic clusters) the cell scan shrinks
+    toward n/K per probe and IVF dominates; production would swap the
+    sampled centroids for k-means-trained ones — same plumbing, the
+    assignment/probe joins are unchanged.
+    """
+    cents = F.broadcast(
+        embeddings.filter(F.pmod(F.col(id_col), F.lit(centroid_mod)) == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+    e_scored = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("evec")
+    ).crossJoin(cents).select(
+        "vec_id", "evec", "centroid_id",
+        cosine_expr(F.col("evec"), F.col("cvec")).alias("cdot"),
+    )
+    cells = topk_per_group(
+        e_scored, "vec_id", "cdot", 1, id_col="centroid_id"
+    ).select("vec_id", "evec", "centroid_id")
+    q_scored = queries.select(
+        F.col(qid_col).alias("query_vec_id"), F.col("qvec")
+    ).crossJoin(cents).select(
+        "query_vec_id", "qvec", "centroid_id",
+        cosine_expr(F.col("qvec"), F.col("cvec")).alias("cdot"),
+    )
+    probes = topk_per_group(
+        q_scored, "query_vec_id", "cdot", nprobe, id_col="centroid_id"
+    ).select("query_vec_id", "qvec", "centroid_id")
+    cand = cells.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("query_vec_id") != F.col("vec_id")
+    )
+    scored = cand.select(
+        "query_vec_id",
+        "vec_id",
+        cosine_expr(F.col("qvec"), F.col("evec")).alias("cosine"),
+    ).distinct()
+    return topk_per_group(scored, "query_vec_id", "cosine", k, id_col="vec_id")
+
+
 def srp_bucket_expr(vec_col, n_bits: int = 4):
     """Sign-random-projection bucket id from the first n_bits dimensions:
     bit i = (vec[i] > 0). Deterministic, SQL-reproducible; a production setup

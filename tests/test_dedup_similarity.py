@@ -110,6 +110,29 @@ def test_multimodal_resize_and_frames(spark):
     assert rz.collect() == resize_images(assets, width=32, height=32).collect()
 
 
+def test_ivf_ann_recall_and_pruning(spark):
+    """IVF (sampled-centroid quantizer, nprobe=8) on the weakly-clustered
+    synthetic embeddings: recall@3 ≥ 0.7 measured vs bruteforce. SRP
+    (recall ≈ 0.91 above) remains the better scale path for THIS
+    distribution — documented in the operator; both are exact on whatever
+    cells/buckets they scan."""
+    from dense_retriever_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
+    )
+    exact = cosine_topk_bruteforce(emb, qv, k=3).collect()
+    approx = ivf_ann_topk(emb, qv, k=3, centroid_mod=31, nprobe=8).collect()
+    truth = {(r["query_vec_id"], r["vec_id"]) for r in exact}
+    got = {(r["query_vec_id"], r["vec_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, f"recall@3 = {recall:.3f}"
+
+
 def test_connected_components(spark):
     """Pairs → dedup clusters: star, chain, and singleton-pair topologies."""
     from dense_retriever_spark.operators.dedup import connected_components
