@@ -44,12 +44,20 @@ def cmd_build_index(args) -> None:
 
     corpus = spark.read.schema(CORPUS_SCHEMA).parquet(args.corpus)
     ingested = assign_doc_ids_scalable(corpus)
+    # --no-stage-content: metadata-only docs table, content joined from the
+    # immutable input at build time (100 TB storage knob, see build_index)
+    content_source = (
+        spark.read.schema(CORPUS_SCHEMA).parquet(args.corpus)
+        if args.no_stage_content
+        else None
+    )
     paths = build_index(
         ingested,
         args.index_dir,
         docs_per_shard=args.docs_per_shard,
         term_buckets=args.term_buckets,
         shard_batch=args.shard_batch,
+        content_source=content_source,
     )
     print(json.dumps({"index": paths.root, "stats": json.load(open(paths.stats))}))
 
@@ -189,6 +197,7 @@ def main(argv=None) -> None:
     b.add_argument("--docs-per-shard", type=int, default=1 << 14)
     b.add_argument("--term-buckets", type=int, default=8)
     b.add_argument("--shard-batch", type=int, default=None)
+    b.add_argument("--no-stage-content", action="store_true")
     b.set_defaults(fn=cmd_build_index)
 
     s = sub.add_parser("search")

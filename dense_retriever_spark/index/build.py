@@ -335,6 +335,7 @@ def build_index(
     merge_partitions: int | None = None,
     timings: dict | None = None,
     build_tag: str = "",
+    content_source: DataFrame | None = None,
 ) -> IndexPaths:
     """Build the full index from an ingested corpus (doc_id + content_sha).
 
@@ -342,6 +343,18 @@ def build_index(
     (None = all in one Spark job). Smaller batches = finer-grained
     resumability; each round commits its shards' parquet + manifest rows
     before the next starts.
+
+    ``content_source``: storage-scale knob. By default the staged docs table
+    CARRIES content — one extra full write, zero extra shuffles, and every
+    downstream job is a pure function of one parquet table. At 100 TB that
+    write doubles corpus storage; instead pass the IMMUTABLE input table
+    (read fresh, e.g. ``spark.read.parquet(corpus_path)``) here: the docs
+    table then stores only metadata (ids, keys, sha — tiny), and phase A
+    fetches content by joining ``content_source`` on the natural key
+    (repo, path, commit) — one corpus-sized shuffle instead of one
+    corpus-sized write. Determinism holds because the join key targets an
+    immutable table, not a re-runnable lineage; natural keys must be unique
+    (the same requirement doc-id assignment already has).
     """
     import time
 
@@ -365,10 +378,11 @@ def build_index(
     # docs table and the postings. Content rides along so phase A never
     # touches the (potentially nondeterministic) input lineage either; column
     # pruning keeps content out of every scan that doesn't ask for it.
+    doc_cols = ["doc_id", "repo", "path", "commit", "lang", "content_sha"]
+    if content_source is None:
+        doc_cols.insert(5, "content")
     (
-        ingested.select(
-            "doc_id", "repo", "path", "commit", "lang", "content", "content_sha"
-        )
+        ingested.select(*doc_cols)
         .withColumn("shard", (F.col("doc_id") / docs_per_shard).cast("long"))
         .write.mode("overwrite")
         .partitionBy("shard")
@@ -429,11 +443,18 @@ def build_index(
         # their doc-range shard; tokenize + tf-count + encode all run inside
         # the per-shard Arrow batch (_build_shard_from_content). Partition
         # pruning on the staged table limits the scan to this batch's range.
-        part = (
-            staged.filter(in_range)
-            .join(todo_part.select("shard"), "shard", "left_semi")
-            .select("shard", "doc_id", "content")
+        batch_ids = staged.filter(in_range).join(
+            todo_part.select("shard"), "shard", "left_semi"
         )
+        if content_source is None:
+            part = batch_ids.select("shard", "doc_id", "content")
+        else:
+            # metadata-only docs table: fetch content from the immutable
+            # input by natural key (one corpus shuffle, no storage doubling)
+            part = batch_ids.select("shard", "doc_id", "repo", "path", "commit").join(
+                content_source.select("repo", "path", "commit", "content"),
+                ["repo", "path", "commit"],
+            ).select("shard", "doc_id", "content")
         rows = part.groupBy("shard").applyInPandas(
             _build_shard_from_content, schema=POSTING_ROW_SCHEMA,
         )

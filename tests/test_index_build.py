@@ -137,6 +137,24 @@ def test_resume_rebuilds_stale_shards_on_input_change(spark, built, tmp_path):
     )
 
 
+def test_content_source_build_is_identical(spark, tiny_corpus, built, tmp_path):
+    """The metadata-only docs table + content-by-natural-key join (the 100 TB
+    storage knob) produces a byte-identical index to the default carry-content
+    staging."""
+    from dense_retriever_spark.corpus import synth_corpus
+
+    src_dir = str(tmp_path / "immutable_src")
+    synth_corpus(spark, 200).write.parquet(src_dir)
+    d = str(tmp_path / "idx_cs")
+    build_index(
+        tiny_corpus, d, docs_per_shard=64, term_buckets=4,
+        content_source=spark.read.parquet(src_dir),
+    )
+    cp = IndexPaths(d)
+    assert _index_content(spark, cp) == _index_content(spark, built)
+    assert "content" not in spark.read.parquet(cp.docs).columns
+
+
 def test_resume_state_is_not_driver_resident(spark, tiny_corpus, tmp_path, monkeypatch):
     """The build may collect only O(n_batches) rows — never one row per shard.
     200 docs / 8 per shard = 25 shards, batch 5 → 5 batches; allow the small
