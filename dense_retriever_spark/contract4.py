@@ -460,6 +460,52 @@ SELECT query_vec_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= {_SR
 """
 
 
+# ---------------------------------------------------------------------------
+# q38 — the INDEXED block-max engine under the driver's hash gate: build a
+# real sharded index over the documents table, search it, and hash-compare
+# against the exact index-free BM25 oracle (Q01_SQL). This promotes the
+# flagship engine's rank-identity guarantee from pytest into the driver's
+# CORRECTNESS record.
+# ---------------------------------------------------------------------------
+
+def q38_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dense_retriever_spark.contract import BM25_QUERIES, Q01_SQL  # noqa: F401
+    from dense_retriever_spark.index.build import build_index
+    from dense_retriever_spark.index.search import search
+    from dense_retriever_spark.operators.topk import topk_per_group
+
+    docs = _docs(spark, sf_dir)
+    # documents table → index input with doc_id PRESERVED (no re-assignment:
+    # the oracle keys on the table's own ids)
+    ingested = docs.select(
+        "doc_id",
+        F.lit("docs").alias("repo"),
+        F.concat(F.lit("p"), F.col("doc_id")).alias("path"),
+        F.concat(F.lit("c"), F.col("doc_id")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )
+    idx = tempfile.mkdtemp(prefix="q38_idx_") + "/index"
+    build_index(ingested, idx, docs_per_shard=128, term_buckets=2)
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    # over-fetch, round to the oracle's 4dp, re-rank on the ROUNDED score —
+    # both engines must rank after rounding or a last-ulp raw difference
+    # inside a rounding tie would order differently (round-before-rank rule)
+    raw = search(spark, idx, queries, k=50, use_blockmax=True)
+    rounded = raw.select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    return topk_per_group(rounded, "query_id", "score", 10).select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("score").cast("double"),
+        F.col("rank").cast("int"),
+    )
+
+
 QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_shuffled_sample": q29_shuffled_sample,
     "q30_simhash_pairs": q30_simhash_pairs,
@@ -470,6 +516,7 @@ QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_embedding_near_dups": q35_embedding_near_dups,
     "q36_dedup_components": q36_dedup_components,
     "q37_ivf_ann": q37_ivf_ann,
+    "q38_indexed_search": q38_indexed_search,
 }
 
 ORACLES4: dict[str, str] = {
@@ -482,4 +529,14 @@ ORACLES4: dict[str, str] = {
     "q35_embedding_near_dups": _q35_sql(),
     "q36_dedup_components": Q36_SQL,
     "q37_ivf_ann": Q37_SQL,
+    "q38_indexed_search": None,  # set below: exact BM25 oracle (Q01_SQL)
 }
+
+
+def _init_q38_oracle() -> None:
+    from dense_retriever_spark.contract import Q01_SQL
+
+    ORACLES4["q38_indexed_search"] = Q01_SQL
+
+
+_init_q38_oracle()
