@@ -90,9 +90,10 @@ def cmd_evaluate(args) -> None:
     qrels = read_qrels(spark, args.qrels).select(
         F.col("qid").alias("query_id"), F.col("doc_id").alias("positive_doc_id")
     )
-    rr = reciprocal_rank(results_as_ranked_lists(results), qrels)
+    rr = reciprocal_rank(results_as_ranked_lists(results), qrels, k=args.k)
     rr.write.mode("overwrite").option("header", "true").csv(args.out)
-    print(json.dumps({"mrr": mrr(rr).collect()[0]["mrr"]}))
+    key = f"mrr@{args.k}" if args.k else "mrr"
+    print(json.dumps({key: mrr(rr).collect()[0]["mrr"]}))
 
 
 def cmd_construct_samples(args) -> None:
@@ -211,6 +212,8 @@ def main(argv=None) -> None:
     e.add_argument("--results", required=True)
     e.add_argument("--qrels", required=True)
     e.add_argument("--out", required=True)
+    e.add_argument("--k", type=int, default=None,
+                   help="MRR@k cutoff (default: full returned list)")
     e.set_defaults(fn=cmd_evaluate)
 
     cs = sub.add_parser("construct-samples")

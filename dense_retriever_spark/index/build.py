@@ -120,7 +120,7 @@ def assign_doc_ids_scalable(corpus: DataFrame, partitions: int = 0) -> DataFrame
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("pid").orderBy(*keys)
-    return (
+    out = (
         arranged.withColumn(
             "doc_id",
             (off_map[F.col("pid")] + F.row_number().over(w) - F.lit(1)).cast(
@@ -130,6 +130,11 @@ def assign_doc_ids_scalable(corpus: DataFrame, partitions: int = 0) -> DataFrame
         .withColumn("content_sha", F.sha2(F.col("content"), 256))
         .drop("pid")
     )
+    # hand the persist HANDLE to callers: unpersist() must target the exact
+    # DataFrame that was persisted (calling it on this derived plan is a
+    # no-op) — build_index frees it right after staging
+    out._persisted_src = arranged
+    return out
 
 
 # --- paths & manifest ---------------------------------------------------------
@@ -388,7 +393,9 @@ def build_index(
         .partitionBy("shard")
         .parquet(paths.docs)
     )
-    ingested.unpersist()  # no-op unless assign_doc_ids_scalable persisted it
+    # free the doc-id assignment's DISK_ONLY blocks (the staged parquet now
+    # owns the data); the handle targets the DataFrame that was persisted
+    getattr(ingested, "_persisted_src", ingested).unpersist()
     staged = spark.read.parquet(paths.docs).withColumn(
         "shard", F.col("shard").cast("long")
     )
