@@ -183,6 +183,7 @@ def cmd_refresh(args) -> None:
     rounds = refresh_rounds(
         spark, batches, queries, qrels, args.workdir,
         k=args.top_n, docs_per_shard=args.docs_per_shard,
+        dedup_exact=args.dedup_exact,
     )
     print(json.dumps({"workdir": args.workdir, "rounds": rounds}))
 
@@ -259,6 +260,7 @@ def main(argv=None) -> None:
     rf.add_argument("--workdir", required=True)
     rf.add_argument("--top-n", type=int, default=10)
     rf.add_argument("--docs-per-shard", type=int, default=1 << 14)
+    rf.add_argument("--dedup-exact", action="store_true")
     rf.set_defaults(fn=cmd_refresh)
 
     args = p.parse_args(argv)

@@ -57,16 +57,38 @@ def _score_shard(
     avgdl: float,
     docs_per_shard: int,
     use_blockmax: bool,
+    excl: np.ndarray | None = None,
 ) -> pd.DataFrame:
-    """applyInPandas body: all index rows of ONE shard matching query terms."""
+    """applyInPandas body: all index rows of ONE shard matching query terms.
+
+    ``excl``: sorted array of tombstoned doc ids (search-time deletes, e.g. a
+    dedup kill-list) — masked out of every term's postings before scoring.
+    With a live exclusion set the shard scores on the EXACT path: block
+    metadata is aligned to the unmasked posting arrays, so block-max pruning
+    would need re-derived blocks (that's a rebuild/compaction, not a
+    query-time feature). Exactness is unaffected either way.
+    """
     if len(pdf) == 0:
         return pd.DataFrame(columns=["query_id", "doc_id", "score", "rank"])
     shard = int(pdf["shard"].iloc[0])
     base = shard * docs_per_shard
+    shard_excl = None
+    if excl is not None and excl.size:
+        lo, hi = np.searchsorted(excl, [base, base + docs_per_shard])
+        shard_excl = excl[lo:hi]
+        if shard_excl.size == 0:
+            shard_excl = None
+        else:
+            use_blockmax = False
     decoded: dict[str, tuple] = {}
     blocks: dict[str, tuple] = {}
     for r in pdf.itertuples(index=False):  # one iteration per TERM, not per row
         ids, tfs, dls = decode_postings(r.postings)
+        if shard_excl is not None:
+            keep = ~np.isin(ids, shard_excl, assume_unique=True)
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            if ids.size == 0:
+                continue
         decoded[r.term] = (ids, tfs, dls)
         blocks[r.term] = (
             np.asarray(r.block_last_doc_id, dtype=np.int64),
@@ -110,8 +132,17 @@ def search(
     queries_df: DataFrame,
     k: int = 10,
     use_blockmax: bool = True,
+    exclude_doc_ids: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k BM25 search. Output: (query_id, doc_id, score, rank)."""
+    """Top-k BM25 search. Output: (query_id, doc_id, score, rank).
+
+    ``exclude_doc_ids``: optional (doc_id) DataFrame of tombstoned docs —
+    typically a dedup kill-list (dedup_exact / connected_components output) —
+    removed EXACTLY at query time without rebuilding the index. The list is
+    collected and broadcast (fine to ~10^7 ids); a kill-list beyond that is
+    a compaction event: rebuild from the filtered docs table (the resumable
+    build makes that an incremental operation).
+    """
     from dense_retriever_spark.operators.bm25 import query_terms
 
     paths = IndexPaths(index_dir)
@@ -150,7 +181,15 @@ def search(
     # of task payload at 733 shards × a 100 KB query set), a broadcast ships
     # once per executor and scales to very large query batches.
     dps = stats["docs_per_shard"]
-    bc = spark.sparkContext.broadcast((qmap, idfs))
+    excl = None
+    if exclude_doc_ids is not None:
+        excl = np.unique(
+            np.array(
+                [r[0] for r in exclude_doc_ids.select("doc_id").collect()],
+                dtype=np.int64,
+            )
+        )
+    bc = spark.sparkContext.broadcast((qmap, idfs, excl))
     shard_rows = (
         spark.read.parquet(paths.shards)
         .filter(F.col("term").isin(present))
@@ -159,8 +198,8 @@ def search(
     )
 
     def _score(pdf):
-        q, i = bc.value
-        return _score_shard(pdf, q, i, k, k1, b, avgdl, dps, use_blockmax)
+        q, i, x = bc.value
+        return _score_shard(pdf, q, i, k, k1, b, avgdl, dps, use_blockmax, x)
 
     local = shard_rows.groupBy("shard").applyInPandas(
         _score, schema=RESULT_SCHEMA,

@@ -36,6 +36,7 @@ def refresh_rounds(
     k: int = 10,
     docs_per_shard: int = 256,
     term_buckets: int = 4,
+    dedup_exact: bool = False,
 ) -> list[dict]:
     """Run one refresh round per corpus batch. Returns per-round metrics.
 
@@ -44,6 +45,12 @@ def refresh_rounds(
     ``negatives_round{i}`` and ``train_set_round{i}`` under ``workdir`` and a
     ``metrics_round{i}.json`` with MRR@k + build timings (the north star's
     'structured metrics').
+
+    ``dedup_exact``: drop byte-identical re-crawls at ingest — rows whose
+    content sha already exists in the corpus (anti-join on content_sha) or
+    is duplicated within the batch (keep the min-key row) never get a doc_id
+    or enter the index. This is the dedup family wired into the refresh
+    loop, where a real training pipeline applies it.
     """
     from dense_retriever_spark.index.build import (
         assign_doc_ids_scalable,
@@ -76,6 +83,27 @@ def refresh_rounds(
     rounds: list[dict] = []
     n_total = 0
     for rnd, batch in enumerate(corpus_batches):
+        if dedup_exact:
+            sha = F.sha2(F.col("content"), 256)
+            # within-batch: one deterministic representative per content
+            batch = (
+                batch.groupBy(sha.alias("_sha"))
+                .agg(
+                    F.min(
+                        F.struct("repo", "path", "commit", "lang", "content")
+                    ).alias("r")
+                )
+                .select("_sha", "r.*")
+            )
+            if rnd > 0:
+                # cross-round: drop shas already in the corpus; materialize
+                # (localCheckpoint) so the append below doesn't write a path
+                # its own lineage is reading
+                seen = spark.read.parquet(corpus_path).select(
+                    F.col("content_sha").alias("_sha")
+                )
+                batch = batch.join(seen, "_sha", "left_anti")
+            batch = batch.drop("_sha").localCheckpoint(eager=True)
         # append this round's batch with doc ids AFTER all existing docs —
         # prior shards keep their (id, content) fingerprints, so the build
         # below reuses them byte-identically and constructs only new shards
