@@ -56,3 +56,48 @@ def test_stateful_sessions_two_batches(spark, tmp_path):
             latest[r["user_id"]] = (r["n_sessions"], r["n_events"])
     assert latest[1] == (2, 4)  # same session continued
     assert latest[2] == (2, 2)  # new session after the gap
+
+
+def test_stateful_sessions_multi_chunk_group(spark, tmp_path):
+    """A group larger than arrow maxRecordsPerBatch arrives as SEVERAL Arrow
+    chunks whose timestamps interleave; the fold must concat+sort ALL chunks
+    before computing gaps (per-chunk sorting silently merged cross-chunk
+    out-of-order sessions — ADVICE r1)."""
+    from dense_retriever_spark.streaming.refresh import stateful_user_sessions
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        # user 1: 60 events in SHUFFLED order covering 3 true sessions
+        # (gaps at 10_000s and 20_000s with gap_seconds=1800)
+        secs = list(range(0, 20 * 60, 60))            # session 1: 20 events
+        secs += [10_000 + s for s in range(0, 20 * 17, 17)]   # session 2
+        secs += [30_000 + s for s in range(0, 20 * 31, 31)]   # session 3
+        import random
+
+        rng = random.Random(13)
+        rng.shuffle(secs)
+        inp = str(tmp_path / "in_mc")
+        _events(spark, [(s, 1) for s in secs]).repartition(1).write.mode(
+            "append"
+        ).parquet(inp)
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long"
+        ).parquet(inp)
+        q = (
+            stateful_user_sessions(stream, gap_seconds=1800)
+            .writeStream.format("memory")
+            .queryName("sess_mc")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_mc"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in spark.sql("select * from sess_mc").collect()
+        }
+        assert got[1] == (3, 60)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
