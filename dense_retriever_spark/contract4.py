@@ -506,6 +506,37 @@ def q38_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q39 — KMV distinct sketch: per-lang distinct-token estimates whose VALUE
+# (not just row count) is hash-verified cross-engine — a sketch the oracle
+# can actually check, unlike engine-specific HLL register layouts.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def q39_kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.functions.tokenizer import tokenize_text_expr
+    from dense_retriever_spark.operators.sketches import kmv_distinct
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang", F.explode(tokenize_text_expr("text")).alias("term")
+    )
+    return kmv_distinct(toks, "term", ["lang"], k=_KMV_K).orderBy("lang")
+
+
+def _q39_sql() -> str:
+    from dense_retriever_spark.contract import _TOK_SQL
+    from dense_retriever_spark.operators.sketches import kmv_sql
+
+    src = (
+        "SELECT lang, unnest(" + _TOK_SQL.format(c="text") + ") AS term "
+        "FROM documents"
+    )
+    return kmv_sql(src, "term", ["lang"], k=_KMV_K) + " ORDER BY lang"
+
+
 QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_shuffled_sample": q29_shuffled_sample,
     "q30_simhash_pairs": q30_simhash_pairs,
@@ -517,6 +548,7 @@ QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dedup_components": q36_dedup_components,
     "q37_ivf_ann": q37_ivf_ann,
     "q38_indexed_search": q38_indexed_search,
+    "q39_kmv_distinct_tokens": q39_kmv_distinct_tokens,
 }
 
 ORACLES4: dict[str, str] = {
@@ -530,6 +562,7 @@ ORACLES4: dict[str, str] = {
     "q36_dedup_components": Q36_SQL,
     "q37_ivf_ann": Q37_SQL,
     "q38_indexed_search": None,  # set below: exact BM25 oracle (Q01_SQL)
+    "q39_kmv_distinct_tokens": _q39_sql(),
 }
 
 

@@ -133,6 +133,25 @@ def test_ivf_ann_recall_and_pruning(spark):
     assert recall >= 0.7, f"recall@3 = {recall:.3f}"
 
 
+def test_kmv_distinct_sketch(spark):
+    """KMV: exact below k, ~1/sqrt(k) relative error above it, and the
+    estimate is a pure function of the data (deterministic)."""
+    from dense_retriever_spark.operators.sketches import kmv_distinct
+
+    small = spark.range(40).select(F.concat(F.lit("v"), "id").alias("v"))
+    r = kmv_distinct(small, "v", k=64).collect()[0]
+    assert r["estimate"] == 40.0  # below k → exact
+
+    big = spark.range(5000).select(
+        F.concat(F.lit("tok"), F.pmod("id", F.lit(3777))).alias("v")
+    )  # 3777 distinct values
+    r = kmv_distinct(big, "v", k=64).collect()[0]
+    err = abs(r["estimate"] - 3777) / 3777
+    assert err < 0.35, f"KMV error {err:.2f}"
+    r2 = kmv_distinct(big, "v", k=64).collect()[0]
+    assert r2["estimate"] == r["estimate"]
+
+
 def test_connected_components(spark):
     """Pairs → dedup clusters: star, chain, and singleton-pair topologies."""
     from dense_retriever_spark.operators.dedup import connected_components
