@@ -533,6 +533,20 @@ def build_index(
     )
     avgdl = float(total_tokens) / n_docs if n_docs else 0.0
 
+    # structured build metrics (north star: 'lineage manifests ... and
+    # structured metrics'): phase timings + manifest roll-up, persisted with
+    # the index so every build leaves an auditable record
+    m = _manifest_df(spark, paths)
+    roll = (
+        m.agg(
+            F.count("*").alias("shards"),
+            F.sum("row_count").alias("posting_rows"),
+            F.sum("bytes").alias("posting_bytes"),
+        ).collect()[0]
+        if m is not None
+        else None
+    )
+    mark("stats_metrics")
     with open(paths.stats, "w") as f:
         json.dump(
             {
@@ -543,6 +557,14 @@ def build_index(
                 "docs_per_shard": docs_per_shard,
                 "n_shards": n_shards,
                 "term_buckets": term_buckets,
+                "build_tag": build_tag,
+                "metrics": {
+                    "phase_seconds": dict(t),
+                    "manifest_shards": int(roll["shards"]) if roll else 0,
+                    "posting_rows": int(roll["posting_rows"] or 0) if roll else 0,
+                    "posting_bytes": int(roll["posting_bytes"] or 0) if roll else 0,
+                    "total_tokens": int(total_tokens),
+                },
             },
             f,
         )
