@@ -171,7 +171,118 @@ def test_connected_components(spark):
     assert got == want
 
 
-def test_srp_ann_recall_vs_bruteforce(spark):
+def test_connected_components_property(spark):
+    """Property test: on random pair graphs the DataFrame label propagation
+    equals a plain union-find (hypothesis-driven topologies)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dense_retriever_spark.operators.dedup import connected_components
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(raw_pairs):
+        pairs = [(min(a, b), max(a, b)) for a, b in raw_pairs if a != b]
+        if not pairs:
+            return
+        # reference union-find
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+        df = spark.createDataFrame(sorted(set(pairs)), "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want
+
+    check()
+
+
+def test_dedup_pipeline_end_to_end(spark, tmp_path, dup_heavy):
+    """The full dedup story composes: candidate pairs → exact verify →
+    clusters → kill-list → tombstoned index search returns one
+    representative per duplicate cluster."""
+    from dense_retriever_spark.index.build import (
+        assign_doc_ids_scalable,
+        build_index,
+    )
+    from dense_retriever_spark.index.search import search
+    from dense_retriever_spark.operators.dedup import (
+        connected_components,
+        dedup_exact,
+        jaccard_verify,
+        minhash_lsh_pairs,
+    )
+
+    # 1. candidates (exact-dup collapse inside) + exact jaccard verify
+    pairs = minhash_lsh_pairs(dup_heavy, n_hashes=16, bands=4)
+    verified = jaccard_verify(pairs, dup_heavy, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    # 2. exact-dup groups fold in as pairs (keep_id, dup_id)
+    exact = (
+        dedup_exact(dup_heavy)
+        .select(F.col("keep_id").alias("id_a"), F.explode("dup_ids").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    comp = connected_components(verified.unionByName(exact))
+    kill = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    n_kill = kill.count()
+    assert n_kill >= 1000  # the 999 exact copies + near-dup variants
+
+    # 3. index the corpus, search with the kill-list applied
+    corpus = dup_heavy.select(
+        F.lit("r").alias("repo"),
+        F.concat(F.lit("p"), "doc_id").alias("path"),
+        F.concat(F.lit("c"), "doc_id").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    idx = str(tmp_path / "dedup_idx")
+    build_index(
+        assign_doc_ids_scalable(corpus), idx, docs_per_shard=256, term_buckets=2
+    )
+    # doc ids re-assigned by (repo,path,commit); pN sorts lexicographically,
+    # so map kill ids through the docs table
+    docs = spark.read.parquet(f"{idx}/docs").select(
+        F.expr("CAST(substr(path, 2) AS LONG)").alias("orig_id"),
+        F.col("doc_id").alias("new_id"),
+    )
+    kill_new = kill.join(docs, kill["doc_id"] == docs["orig_id"]).select(
+        F.col("new_id").alias("doc_id")
+    )
+    q = spark.createDataFrame([(0, "alpha bravo charlie")], "query_id long, query string")
+    res = search(spark, idx, q, k=10, exclude_doc_ids=kill_new).collect()
+    hit_orig = {
+        r["orig_id"]
+        for r in spark.createDataFrame(
+            [(x["doc_id"],) for x in res], "new_id long"
+        ).join(docs, "new_id").collect()
+    }
+    # of the 1000-copy cluster + 2 near-dups, only the representative survives
+    assert len(hit_orig & set(range(1002))) == 1
     """Seeded 64-plane × 16-band SRP-LSH: recall@3 ≥ 0.9 against the exact
     cosine oracle on the synthetic embeddings (VERDICT r1 item 8)."""
     from dense_retriever_spark.operators.similarity import (
