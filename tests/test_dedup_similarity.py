@@ -283,6 +283,9 @@ def test_dedup_pipeline_end_to_end(spark, tmp_path, dup_heavy):
     }
     # of the 1000-copy cluster + 2 near-dups, only the representative survives
     assert len(hit_orig & set(range(1002))) == 1
+
+
+def test_srp_ann_recall_vs_bruteforce(spark):
     """Seeded 64-plane × 16-band SRP-LSH: recall@3 ≥ 0.9 against the exact
     cosine oracle on the synthetic embeddings (VERDICT r1 item 8)."""
     from dense_retriever_spark.operators.similarity import (
