@@ -98,19 +98,33 @@ def _srp_band_structs(vec_col, planes, bands: int):
     values are identical, but Catalyst analyzes one higher-order function
     instead of 64 nested lambda trees — measured ~4x faster query planning
     on the 64×64 configuration."""
-    n_planes = planes.shape[0]
-    w = n_planes // bands
+    bits = srp_bits_expr(vec_col, planes)
+    return _band_structs_from_bits(bits, planes.shape[0], bands)
+
+
+def srp_bits_expr(vec_col, planes):
+    """array<long> of sign bits, all projections via ONE transform lambda
+    over the 2-D plane-matrix literal."""
     planes_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in p]) for p in planes]
     )
-    bits = F.transform(
+    return F.transform(
         planes_lit, lambda p: (F.round(_dot(vec_col, p), 6) > 0).cast("long")
     )
+
+
+def _band_structs_from_bits(bits_col, n_planes: int, bands: int):
+    """Band structs from an ALREADY-MATERIALIZED bits column. Callers must
+    withColumn the bits first: referencing the bits EXPRESSION 64 times would
+    copy its 4096-literal subtree into every element_at (no cross-reference
+    sharing in the unresolved plan) — that tree blow-up made Catalyst
+    analysis take ~20s per SRP query."""
+    w = n_planes // bands
     structs = []
     for b in range(bands):
         key = None
         for j in range(w):
-            bit = F.element_at(bits, b * w + j + 1) * F.lit(1 << j)
+            bit = F.element_at(bits_col, b * w + j + 1) * F.lit(1 << j)
             key = bit if key is None else key + bit
         structs.append(
             F.struct(F.lit(b).alias("band_id"), key.alias("band_key"))
@@ -144,12 +158,22 @@ def srp_ann_topk(
     placeholder ('first 4 dims > 0', single band, unquantified recall).
     """
     planes = srp_planes(dim, n_planes, seed)
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("evec")
-    ).withColumn("bk", F.explode(_srp_band_structs(F.col("evec"), planes, bands)))
-    q = queries.select(
-        F.col(qid_col).alias("query_vec_id"), F.col("qvec")
-    ).withColumn("bk", F.explode(_srp_band_structs(F.col("qvec"), planes, bands)))
+    e = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("evec")
+        )
+        .withColumn("_bits", srp_bits_expr(F.col("evec"), planes))
+        .withColumn(
+            "bk", F.explode(_band_structs_from_bits(F.col("_bits"), n_planes, bands))
+        )
+    )
+    q = (
+        queries.select(F.col(qid_col).alias("query_vec_id"), F.col("qvec"))
+        .withColumn("_bits", srp_bits_expr(F.col("qvec"), planes))
+        .withColumn(
+            "bk", F.explode(_band_structs_from_bits(F.col("_bits"), n_planes, bands))
+        )
+    )
     joined = e.join(
         F.broadcast(q),
         (e["bk.band_id"] == q["bk.band_id"])
@@ -187,9 +211,15 @@ def embedding_near_dup_pairs(
     buckets (degenerate embedding clusters) are capped like minhash LSH.
     """
     planes = srp_planes(dim, n_planes, seed)
-    e = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
-    ).withColumn("bk", F.explode(_srp_band_structs(F.col("vec"), planes, bands)))
+    e = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        )
+        .withColumn("_bits", srp_bits_expr(F.col("vec"), planes))
+        .withColumn(
+            "bk", F.explode(_band_structs_from_bits(F.col("_bits"), n_planes, bands))
+        )
+    )
     flat = e.select("vec_id", "vec", "bk.band_id", "bk.band_key")
     sizes = flat.groupBy("band_id", "band_key").agg(F.count("*").alias("_n"))
     bounded = flat.join(
