@@ -14,6 +14,8 @@ Reference: 12 click commands (cli/__init__.py:15-26). Mapping:
   train_model_with_refresh → refresh (pipeline.refresh_rounds; the PyTorch
     training step is out of scope for an analytics engine, the data loop —
     search → mine negatives → rebuild — is fully implemented)
+  (beyond the reference) compact → physically drop a tombstone kill-list
+    from the index, rebuilding only the affected shards (build.compact_index)
   train_model / run_inference / build_encoding_cache → out of scope (GPU
     model training/inference; the KV cache join exists as contract3.q28).
 
@@ -168,6 +170,19 @@ def cmd_build_term_cache(args) -> None:
     print(json.dumps({"cache": args.out, "terms": stats.count()}))
 
 
+def cmd_compact(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.index.build import compact_index
+
+    kill = spark.read.parquet(args.kill_list).select(
+        F.col(args.kill_col).cast("long").alias("doc_id")
+    )
+    paths = compact_index(spark, args.index_dir, kill)
+    print(json.dumps({"index": paths.root, "stats": json.load(open(paths.stats))}))
+
+
 def cmd_refresh(args) -> None:
     spark = _spark(args)
     from dense_retriever_spark.pipeline import refresh_rounds
@@ -251,6 +266,13 @@ def main(argv=None) -> None:
     tc.add_argument("--min-df", type=int, default=1)
     tc.add_argument("--out", required=True)
     tc.set_defaults(fn=cmd_build_term_cache)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("--index-dir", required=True)
+    cp.add_argument("--kill-list", required=True,
+                    help="parquet with the tombstoned doc ids")
+    cp.add_argument("--kill-col", default="doc_id")
+    cp.set_defaults(fn=cmd_compact)
 
     rf = sub.add_parser("refresh")
     rf.add_argument("--corpus-batches", required=True,

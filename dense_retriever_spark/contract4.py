@@ -389,12 +389,13 @@ SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
 
 
 # ---------------------------------------------------------------------------
-# q37 — IVF-style ANN: sampled-vector coarse quantizer, nprobe cell scan.
-# Centroids are rows of the table itself (vec_id % mod == 0), so the oracle
-# reproduces the whole construction with self-joins — no trained state.
+# q37 — IVF-style ANN: FIXED-K coarse quantizer (the K vectors with the
+# smallest md5-hash of their id — K independent of N, so the centroid
+# broadcast and the N × K assignment scale), nprobe cell scan. The oracle
+# reproduces the whole construction with the same hash ORDER BY ... LIMIT K.
 # ---------------------------------------------------------------------------
 
-_IVF_MOD, _IVF_NPROBE = 31, 8
+_IVF_K, _IVF_NPROBE = 20, 8
 
 
 def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,7 +406,7 @@ def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
     )
     return ivf_ann_topk(
-        emb, qv, k=_SRP_K, centroid_mod=_IVF_MOD, nprobe=_IVF_NPROBE
+        emb, qv, k=_SRP_K, n_centroids=_IVF_K, nprobe=_IVF_NPROBE
     )
 
 
@@ -416,9 +417,13 @@ _COS37 = (
 )
 
 Q37_SQL = f"""
-WITH cents AS (
-  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
-  WHERE vec_id % {_IVF_MOD} = 0
+WITH ch AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec,
+         CAST('0x' || substr(md5('777:' || vec_id::VARCHAR), 1, 15) AS BIGINT) AS h
+  FROM embeddings
+),
+cents AS (
+  SELECT centroid_id, cvec FROM ch ORDER BY h ASC, centroid_id ASC LIMIT {_IVF_K}
 ),
 vass AS (
   SELECT vec_id, evec, centroid_id FROM (
@@ -468,18 +473,13 @@ SELECT query_vec_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= {_SR
 # CORRECTNESS record.
 # ---------------------------------------------------------------------------
 
-def q38_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+_Q38_IDX_CACHE: dict[str, str] = {}
 
-    from dense_retriever_spark.contract import BM25_QUERIES, Q01_SQL  # noqa: F401
-    from dense_retriever_spark.index.build import build_index
-    from dense_retriever_spark.index.search import search
-    from dense_retriever_spark.operators.topk import topk_per_group
 
-    docs = _docs(spark, sf_dir)
-    # documents table → index input with doc_id PRESERVED (no re-assignment:
-    # the oracle keys on the table's own ids)
-    ingested = docs.select(
+def _docs_as_index_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table → index input with doc_id PRESERVED (no re-assignment:
+    the oracle keys on the table's own ids)."""
+    return _docs(spark, sf_dir).select(
         "doc_id",
         F.lit("docs").alias("repo"),
         F.concat(F.lit("p"), F.col("doc_id")).alias("path"),
@@ -488,8 +488,37 @@ def q38_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
         F.sha2(F.col("text"), 256).alias("content_sha"),
     )
-    idx = tempfile.mkdtemp(prefix="q38_idx_") + "/index"
-    build_index(ingested, idx, docs_per_shard=128, term_buckets=2)
+
+
+def _q38_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir per process) the q38 test index; the temp dir
+    is registered for atexit removal — repeated contract runs reuse one
+    directory instead of leaking a mkdtemp per call (round-2 ADVICE)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from dense_retriever_spark.index.build import build_index
+
+    if sf_dir in _Q38_IDX_CACHE:
+        return _Q38_IDX_CACHE[sf_dir]
+    root = tempfile.mkdtemp(prefix="q38_idx_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    idx = root + "/index"
+    build_index(
+        _docs_as_index_input(spark, sf_dir), idx,
+        docs_per_shard=128, term_buckets=2,
+    )
+    _Q38_IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q38_indexed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract import BM25_QUERIES, Q01_SQL  # noqa: F401
+    from dense_retriever_spark.index.search import search
+    from dense_retriever_spark.operators.topk import topk_per_group
+
+    idx = _q38_index_dir(spark, sf_dir)
     queries = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
     # over-fetch, round to the oracle's 4dp, re-rank on the ROUNDED score —
     # both engines must rank after rounding or a last-ulp raw difference

@@ -132,7 +132,10 @@ def assign_doc_ids_scalable(corpus: DataFrame, partitions: int = 0) -> DataFrame
     )
     # hand the persist HANDLE to callers: unpersist() must target the exact
     # DataFrame that was persisted (calling it on this derived plan is a
-    # no-op) — build_index frees it right after staging
+    # no-op) — build_index frees it right after staging. CAVEAT: any derived
+    # DataFrame (.withColumn, .select, ...) DROPS this attribute — callers
+    # that transform the result must keep their own reference to THIS
+    # DataFrame and unpersist via it (see pipeline.refresh_rounds).
     out._persisted_src = arranged
     return out
 
@@ -375,6 +378,30 @@ def build_index(
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
 
+    # FAIL FAST on incompatible prior state (round-2 ADVICE): resuming into
+    # an index written by an older posting format, or with a different
+    # docs_per_shard, would silently mis-decode blobs / mis-route doc ids.
+    from dense_retriever_spark.index.codec import FORMAT_VERSION
+
+    if os.path.exists(paths.stats):
+        with open(paths.stats) as f:
+            prev = json.load(f)
+        pv = prev.get("format_version", 1)
+        if pv != FORMAT_VERSION:
+            raise ValueError(
+                f"index at {index_dir} has posting format v{pv}; this build "
+                f"writes v{FORMAT_VERSION} — use a fresh index directory"
+            )
+        if prev.get("docs_per_shard") != docs_per_shard and os.path.isdir(
+            paths.manifest
+        ):
+            raise ValueError(
+                f"index at {index_dir} was built with docs_per_shard="
+                f"{prev.get('docs_per_shard')}, this build uses "
+                f"{docs_per_shard}; shard boundaries would not line up — "
+                "pass the original value or use a fresh index directory"
+            )
+
     # STAGE: materialize the ingested corpus exactly once (doc dimension table
     # WITH content, partitioned by shard for per-batch pruning). Every
     # downstream job reads this parquet, so doc ids are fixed by a single
@@ -404,8 +431,19 @@ def build_index(
     # stats-free (max_tf/min_dl, see codec.block_meta), and avgdl is derived
     # AFTER phase A from the shards' cf sums. N counts ALL docs (incl.
     # zero-token ones) — same convention as the oracle's corpus_stats.
-    n_docs = staged.count()
-    n_shards = max(1, math.ceil(n_docs / docs_per_shard))
+    # n_shards comes from the MAX doc id, not the count: after a compaction
+    # the id space has gaps, and ceil(count/dps) would undercount trailing
+    # shards (for dense ids the two are identical).
+    agg = staged.agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("mx")
+    ).collect()[0]
+    n_docs = int(agg["n"])
+    max_id = agg["mx"]
+    n_shards = (
+        max(1, math.ceil((int(max_id) + 1) / docs_per_shard))
+        if max_id is not None
+        else 1
+    )
     mark("stage_docs")
 
     # per-shard input fingerprint — stays a DataFrame (never collected)
@@ -416,6 +454,35 @@ def build_index(
     # stale shards (input changed between runs) are rebuilt, not silently
     # merged. All of this is joins; the driver sees only per-BATCH summaries.
     manifest = _manifest_df(spark, paths)
+    if manifest is not None:
+        # ORPHAN cleanup (round-2 ADVICE): shards present in the manifest but
+        # absent from the CURRENT corpus's fingerprint set (the corpus shrank
+        # — e.g. compaction killed every doc of a shard) would otherwise be
+        # merged into global/ and served as ghost results. The collect is
+        # O(#vanished shards) — zero on every append-only/resume build.
+        import shutil as _shutil
+
+        orphans = (
+            manifest.select("shard_id")
+            .distinct()
+            .join(
+                fp_df.select(F.col("shard").alias("shard_id")),
+                "shard_id",
+                "left_anti",
+            )
+            .collect()
+        )
+        for r in orphans:
+            sid = int(r["shard_id"])
+            _shutil.rmtree(
+                os.path.join(paths.shards, f"shard={sid}"), ignore_errors=True
+            )
+            _shutil.rmtree(
+                os.path.join(paths.manifest, f"shard_id={sid}"),
+                ignore_errors=True,
+            )
+        if orphans:
+            manifest = _manifest_df(spark, paths)
     if manifest is not None:
         done_keys = manifest.filter(F.col("status") == "complete").select(
             F.col("shard_id").alias("shard"),
@@ -550,6 +617,7 @@ def build_index(
     with open(paths.stats, "w") as f:
         json.dump(
             {
+                "format_version": FORMAT_VERSION,
                 "n_docs": n_docs,
                 "avgdl": avgdl,
                 "k1": k1,
@@ -569,3 +637,57 @@ def build_index(
             f,
         )
     return paths
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    kill_df: DataFrame,
+    shard_batch: int | None = None,
+    build_tag: str = "compact",
+    content_source: DataFrame | None = None,
+) -> IndexPaths:
+    """Physically remove tombstoned docs from an index — the escape hatch for
+    kill-lists past the ~10^7-id search-time broadcast ceiling.
+
+    ``kill_df``: (doc_id) docs to drop (a dedup kill-list — dedup_exact /
+    connected_components output). Surviving doc ids are KEPT (no
+    re-assignment), so shard membership (doc_id // docs_per_shard) is
+    unchanged and the resumable build's fingerprint check skips every shard
+    with no killed docs — only the touched shards are rebuilt (tagged
+    ``build_tag`` in the manifest). Shards whose docs were ALL killed become
+    orphans and are deleted by build_index's manifest⟂fingerprint sweep.
+    BM25 statistics (N, df, avgdl) are recomputed over the survivors, so a
+    post-compaction search scores exactly like a tombstoned search of the
+    original index (tests/test_index_build.py asserts bit-equality).
+
+    The filtered docs table is staged OUTSIDE the index dir first because
+    build_index overwrites paths.docs — reading and overwriting the same
+    parquet path in one job is undefined.
+    """
+    import shutil
+    import tempfile
+
+    from dense_retriever_spark.index.search import load_stats
+
+    paths = IndexPaths(index_dir)
+    stats = load_stats(index_dir)  # format_version-checked
+    docs = spark.read.parquet(paths.docs).drop("shard")
+    kept = docs.join(kill_df.select("doc_id"), "doc_id", "left_anti")
+    staging = tempfile.mkdtemp(prefix="compact_staging_")
+    try:
+        kept.write.mode("overwrite").parquet(staging)
+        out = build_index(
+            spark.read.parquet(staging),
+            index_dir,
+            docs_per_shard=int(stats["docs_per_shard"]),
+            term_buckets=int(stats["term_buckets"]),
+            shard_batch=shard_batch,
+            k1=float(stats["k1"]),
+            b=float(stats["b"]),
+            build_tag=build_tag,
+            content_source=content_source,
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return out

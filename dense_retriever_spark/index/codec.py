@@ -26,6 +26,13 @@ import struct
 
 import numpy as np
 
+#: On-disk posting-blob format version, stamped into every index's stats.json
+#: and checked at load/search/resume time. v1 = u32 header fields (round 1),
+#: v2 = u64 header fields (round 2's 10^12-doc headroom). Bumping this is the
+#: explicit "incompatible format" signal — without it, a v1 index decoded by
+#: v2 code silently reads payload bytes as lengths (round-2 ADVICE).
+FORMAT_VERSION = 2
+
 _MAX_BYTES = 10  # 64 bits / 7
 
 

@@ -43,8 +43,18 @@ RESULT_SCHEMA = "query_id long, doc_id long, score double, rank int"
 
 
 def load_stats(index_dir: str) -> dict:
+    from dense_retriever_spark.index.codec import FORMAT_VERSION
+
     with open(IndexPaths(index_dir).stats) as f:
-        return json.load(f)
+        stats = json.load(f)
+    v = stats.get("format_version", 1)
+    if v != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} uses posting format v{v}; this engine "
+            f"reads v{FORMAT_VERSION} — rebuild the index (a v1 blob decoded "
+            "as v2 would silently misread payload bytes as header lengths)"
+        )
+    return stats
 
 
 def _score_shard(
@@ -63,11 +73,15 @@ def _score_shard(
 
     ``excl``: sorted array of tombstoned doc ids (search-time deletes, e.g. a
     dedup kill-list) — masked out of every term's postings before scoring.
-    With a live exclusion set the shard scores on the EXACT path: block
-    metadata is aligned to the unmasked posting arrays, so block-max pruning
-    would need re-derived blocks (that's a rebuild/compaction, not a
-    query-time feature). Exactness is unaffected either way.
+    Block-max pruning STAYS LIVE under a kill-list: block metadata is
+    re-derived from the masked posting arrays (codec.block_meta over arrays
+    already decoded — O(shard postings), the cost the scorer is paying
+    anyway), so dedup-heavy query loads keep WAND pruning instead of silently
+    falling back to the exact scan (the round-2 2-5× regression).
+    Exactness is unaffected either way (blockmax is exact by construction).
     """
+    from dense_retriever_spark.index.codec import block_meta
+
     if len(pdf) == 0:
         return pd.DataFrame(columns=["query_id", "doc_id", "score", "rank"])
     shard = int(pdf["shard"].iloc[0])
@@ -78,8 +92,6 @@ def _score_shard(
         shard_excl = excl[lo:hi]
         if shard_excl.size == 0:
             shard_excl = None
-        else:
-            use_blockmax = False
     decoded: dict[str, tuple] = {}
     blocks: dict[str, tuple] = {}
     for r in pdf.itertuples(index=False):  # one iteration per TERM, not per row
@@ -90,11 +102,15 @@ def _score_shard(
             if ids.size == 0:
                 continue
         decoded[r.term] = (ids, tfs, dls)
-        blocks[r.term] = (
-            np.asarray(r.block_last_doc_id, dtype=np.int64),
-            np.asarray(r.block_max_tf, dtype=np.int64),
-            np.asarray(r.block_min_dl, dtype=np.int64),
-        )
+        if shard_excl is not None:
+            # masked postings → stored blocks are misaligned; rebuild them
+            blocks[r.term] = block_meta(ids, tfs, dls)
+        else:
+            blocks[r.term] = (
+                np.asarray(r.block_last_doc_id, dtype=np.int64),
+                np.asarray(r.block_max_tf, dtype=np.int64),
+                np.asarray(r.block_min_dl, dtype=np.int64),
+            )
     out_q, out_d, out_s = [], [], []
     for qid, terms in queries.items():
         term_rows = [
@@ -133,15 +149,26 @@ def search(
     k: int = 10,
     use_blockmax: bool = True,
     exclude_doc_ids: DataFrame | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Top-k BM25 search. Output: (query_id, doc_id, score, rank).
 
     ``exclude_doc_ids``: optional (doc_id) DataFrame of tombstoned docs —
     typically a dedup kill-list (dedup_exact / connected_components output) —
-    removed EXACTLY at query time without rebuilding the index. The list is
-    collected and broadcast (fine to ~10^7 ids); a kill-list beyond that is
-    a compaction event: rebuild from the filtered docs table (the resumable
-    build makes that an incremental operation).
+    removed EXACTLY at query time without rebuilding the index; block-max
+    pruning stays live (blocks re-derived from the masked postings, see
+    _score_shard). The list is collected and broadcast (fine to ~10^7 ids);
+    a kill-list beyond that is a compaction event: ``compact_index`` /
+    the ``compact`` CLI rebuilds exactly the affected shards.
+
+    ``eager`` (default): run the search now, RELEASE the per-call
+    (qmap, idfs, excl) broadcast immediately, and return the materialized
+    result (k × |Q| rows — bounded by construction — via createDataFrame).
+    Without this, every search() leaks one driver+executor broadcast until
+    GC (round-2 ADVICE): the refresh loop runs one search per round for the
+    session's lifetime. ``eager=False`` keeps the fully-lazy plan for
+    composition; the caller then owns the broadcast's lifetime (it is
+    released when the returned DataFrame is garbage-collected).
     """
     from dense_retriever_spark.operators.bm25 import query_terms
 
@@ -206,9 +233,14 @@ def search(
     )
     # 4. global exact top-k with the deterministic tie-break
     out = topk_per_group(local.drop("rank"), "query_id", "score", k)
-    return out.select(
+    out = out.select(
         F.col("query_id").cast("long"),
         F.col("doc_id").cast("long"),
         F.col("score").cast("double"),
         F.col("rank").cast("int"),
     )
+    if not eager:
+        return out
+    rows = out.collect()  # bounded: ≤ k × |Q| rows by construction
+    bc.destroy()
+    return spark.createDataFrame(rows, RESULT_SCHEMA)

@@ -55,6 +55,7 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_vec_id",
+    qvec_col: str = "qvec",
 ) -> DataFrame:
     """Exact cosine top-k: (query_vec_id, vec_id, cosine, rank).
 
@@ -69,7 +70,7 @@ def cosine_topk_bruteforce(
     scored = joined.select(
         F.col(f"q.{qid_col}").alias("query_vec_id"),
         F.col(f"e.{id_col}").alias("vec_id"),
-        cosine_expr(F.col("q.qvec"), F.col(f"e.{vec_col}")).alias("cosine"),
+        cosine_expr(F.col(f"q.{qvec_col}"), F.col(f"e.{vec_col}")).alias("cosine"),
     )
     return topk_per_group(scored, "query_vec_id", "cosine", k, id_col="vec_id")
 
@@ -113,6 +114,57 @@ def srp_bits_expr(vec_col, planes):
     )
 
 
+#: above this many plane-matrix literals (dim × n_planes) the expr path's
+#: literal tree becomes a query-PLANNING cost (Catalyst copies the subtree
+#: into the plan; measured ~20s analysis at 64×64 before the bits column was
+#: materialized, and production dims 768×128 ≈ 1e5 literals would be worse) —
+#: switch to the broadcast-matrix pandas path instead.
+SRP_LITERAL_LIMIT = 8192
+
+
+def srp_bits_pandas(df: DataFrame, vec_col, planes, out_col: str):
+    """Sign bits via an Arrow-batched pandas UDF with the plane matrix shipped
+    as an ``sc.broadcast`` — the HIGH-DIM path (dim × n_planes beyond
+    SRP_LITERAL_LIMIT), where the expr path's literal tree would bloat
+    planning time. Bit-identical to ``srp_bits_expr``: the projection folds
+    over dimensions SEQUENTIALLY in float64 (acc += v[d] * p[d], the same
+    left-to-right order as F.aggregate), then rounds to 6dp before the sign
+    test (tests/test_similarity.py parity test).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    mat = np.ascontiguousarray(planes, dtype=np.float64)  # (n_planes, dim)
+    bc = spark.sparkContext.broadcast(mat)
+
+    @pandas_udf("array<long>")
+    def _bits(v: pd.Series) -> pd.Series:
+        P = bc.value
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        acc = np.zeros((V.shape[0], P.shape[0]), dtype=np.float64)
+        # sequential per-dimension fold == F.aggregate's left-to-right order
+        for d in range(P.shape[1]):
+            acc += V[:, d : d + 1] * P[None, :, d]
+        bits = (np.round(acc, 6) > 0).astype(np.int64)
+        return pd.Series(list(bits))
+
+    return df.withColumn(out_col, _bits(vec_col))
+
+
+def _with_srp_bits(df: DataFrame, vec_col, planes, out_col: str = "_bits"):
+    """Materialize the sign-bits column by whichever path fits the plane
+    count: native expr below SRP_LITERAL_LIMIT (oracle-reproducible, zero
+    Python), broadcast-matrix pandas UDF above it (planning-time safe at
+    production dims)."""
+    if planes.size <= SRP_LITERAL_LIMIT:
+        return df.withColumn(out_col, srp_bits_expr(vec_col, planes))
+    return srp_bits_pandas(df, vec_col, planes, out_col)
+
+
 def _band_structs_from_bits(bits_col, n_planes: int, bands: int):
     """Band structs from an ALREADY-MATERIALIZED bits column. Callers must
     withColumn the bits first: referencing the bits EXPRESSION 64 times would
@@ -143,6 +195,7 @@ def srp_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_vec_id",
+    qvec_col: str = "qvec",
 ) -> DataFrame:
     """ANN top-k via seeded sign-random-projection LSH, multi-band OR.
 
@@ -158,21 +211,23 @@ def srp_ann_topk(
     placeholder ('first 4 dims > 0', single band, unquantified recall).
     """
     planes = srp_planes(dim, n_planes, seed)
-    e = (
+    e = _with_srp_bits(
         embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("evec")
-        )
-        .withColumn("_bits", srp_bits_expr(F.col("evec"), planes))
-        .withColumn(
-            "bk", F.explode(_band_structs_from_bits(F.col("_bits"), n_planes, bands))
-        )
+        ),
+        F.col("evec"),
+        planes,
+    ).withColumn(
+        "bk", F.explode(_band_structs_from_bits(F.col("_bits"), n_planes, bands))
     )
-    q = (
-        queries.select(F.col(qid_col).alias("query_vec_id"), F.col("qvec"))
-        .withColumn("_bits", srp_bits_expr(F.col("qvec"), planes))
-        .withColumn(
-            "bk", F.explode(_band_structs_from_bits(F.col("_bits"), n_planes, bands))
-        )
+    q = _with_srp_bits(
+        queries.select(
+            F.col(qid_col).alias("query_vec_id"), F.col(qvec_col).alias("qvec")
+        ),
+        F.col("qvec"),
+        planes,
+    ).withColumn(
+        "bk", F.explode(_band_structs_from_bits(F.col("_bits"), n_planes, bands))
     )
     joined = e.join(
         F.broadcast(q),
@@ -211,14 +266,14 @@ def embedding_near_dup_pairs(
     buckets (degenerate embedding clusters) are capped like minhash LSH.
     """
     planes = srp_planes(dim, n_planes, seed)
-    e = (
+    e = _with_srp_bits(
         embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
-        )
-        .withColumn("_bits", srp_bits_expr(F.col("vec"), planes))
-        .withColumn(
-            "bk", F.explode(_band_structs_from_bits(F.col("_bits"), n_planes, bands))
-        )
+        ),
+        F.col("vec"),
+        planes,
+    ).withColumn(
+        "bk", F.explode(_band_structs_from_bits(F.col("_bits"), n_planes, bands))
     )
     flat = e.select("vec_id", "vec", "bk.band_id", "bk.band_key")
     sizes = flat.groupBy("band_id", "band_key").agg(F.count("*").alias("_n"))
@@ -246,41 +301,103 @@ def embedding_near_dup_pairs(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FIXED-K coarse-quantizer centroids: the ``n_centroids`` vectors with
+    the smallest md5-derived 60-bit hash of their id.
+
+    Deterministic (pure function of the ids), oracle-reproducible (DuckDB:
+    ORDER BY the same md5 hash LIMIT K), and — the point — the centroid
+    COUNT is independent of N: assignment work is always N × K and the
+    centroid broadcast is always K vectors, at any corpus size. (Round 2
+    sampled every 31st vector, which made the centroid set N/31 — an
+    un-broadcastable small side and an O(N²/31) assignment at 10^9 vectors.)
+    The hash order is a uniform random sample of the table, the classic
+    random-init quantizer; see ``ivf_kmeans_centroids`` for the trained
+    variant. Executes as TakeOrderedAndProject: O(K) rows per partition
+    merged on the driver, never a global sort.
+    """
+    from dense_retriever_spark.operators.dedup import _hash60
+
+    return (
+        embeddings.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+            _hash60(F.col(id_col).cast("string"), 777).alias("_h"),
+        )
+        .orderBy(F.asc("_h"), F.asc("centroid_id"))
+        .limit(n_centroids)
+        .drop("_h")
+    )
+
+
+def ivf_kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """TRAINED coarse quantizer: Spark-ML k-means over the embedding column.
+
+    Same (centroid_id, cvec) contract as ``ivf_centroids`` so it drops into
+    ``ivf_ann_topk(centroids=...)`` unchanged; centroid_id is the cluster
+    index (negative offset avoids colliding with real vec_ids in the
+    self-query case). Not oracle-gated (k-means is iterative, not
+    SQL-expressible) — covered by the recall pytest instead.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+    spark = embeddings.sparkSession
+    rows = [(int(-i - 1), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "centroid_id long, cvec array<float>")
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    centroid_mod: int = 31,
+    n_centroids: int = 16,
     nprobe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_vec_id",
+    qvec_col: str = "qvec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: coarse quantizer + probe-limited exact scan.
+    """IVF-style ANN: fixed-K coarse quantizer + probe-limited exact scan.
 
-    Centroids are SAMPLED VECTORS (every ``centroid_mod``-th row — the
-    classic random-sampling init, and crucially a pure function of the table
-    itself, so the construction works identically at any scale and the
-    DuckDB oracle reproduces it with a plain self-join — no trained state).
-    Every vector is assigned to its top-1 centroid by cosine; a query probes
-    its ``nprobe`` nearest centroids and scans only those cells, exactly.
-    All ordering uses the engine-wide (rounded cosine DESC, id ASC)
-    tie-break, so cell assignment is deterministic cross-engine.
+    Centroids default to the deterministic fixed-K hash sample
+    (``ivf_centroids`` — K independent of N, so both the centroid broadcast
+    and the N × K assignment scale); pass ``centroids=ivf_kmeans_centroids(...)``
+    for the trained variant. Every vector is assigned to its top-1 centroid
+    by cosine; a query probes its ``nprobe`` nearest centroids and scans only
+    those cells, exactly. All ordering uses the engine-wide (rounded cosine
+    DESC, id ASC) tie-break, so cell assignment is deterministic
+    cross-engine.
 
     Honest scale note (measured, tests/test_dedup_similarity.py): on this
-    repo's weakly-clustered synthetic embeddings IVF recalls ≈ 0.77 @ k=3
-    while scanning ≈ 47% of the corpus — the data has little cluster
+    repo's weakly-clustered synthetic embeddings IVF recalls ≈ 0.7+ @ k=3
+    while scanning ≈ half the corpus — the data has little cluster
     structure for the quantizer to exploit, and the SRP multi-band operator
     (srp_ann_topk, recall ≈ 0.91) is the better scale path HERE. On real
     embedding distributions (tight semantic clusters) the cell scan shrinks
-    toward n/K per probe and IVF dominates; production would swap the
-    sampled centroids for k-means-trained ones — same plumbing, the
-    assignment/probe joins are unchanged.
+    toward n/K per probe and IVF dominates — same plumbing either way.
     """
     cents = F.broadcast(
-        embeddings.filter(F.pmod(F.col(id_col), F.lit(centroid_mod)) == 0).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
-        )
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, n_centroids, id_col, vec_col)
     )
     e_scored = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("evec")
@@ -292,7 +409,7 @@ def ivf_ann_topk(
         e_scored, "vec_id", "cdot", 1, id_col="centroid_id"
     ).select("vec_id", "evec", "centroid_id")
     q_scored = queries.select(
-        F.col(qid_col).alias("query_vec_id"), F.col("qvec")
+        F.col(qid_col).alias("query_vec_id"), F.col(qvec_col).alias("qvec")
     ).crossJoin(cents).select(
         "query_vec_id", "qvec", "centroid_id",
         cosine_expr(F.col("qvec"), F.col("cvec")).alias("cdot"),
@@ -333,13 +450,14 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "query_vec_id",
+    qvec_col: str = "qvec",
 ) -> DataFrame:
     """ANN top-k within the query's SRP bucket: (query_vec_id, vec_id, cosine,
     rank). Equi-join on bucket replaces the cross join — candidate set is
     ~N/2^n_bits per query."""
     e = embeddings.withColumn("bucket", srp_bucket_expr(F.col(vec_col), n_bits))
     q = F.broadcast(
-        queries.withColumn("bucket", srp_bucket_expr(F.col("qvec"), n_bits))
+        queries.withColumn("bucket", srp_bucket_expr(F.col(qvec_col), n_bits))
     )
     joined = e.alias("e").join(q.alias("q"), "bucket").filter(
         F.col(qid_col) != F.col(id_col)
@@ -347,6 +465,6 @@ def lsh_bucketed_topk(
     scored = joined.select(
         F.col(qid_col).alias("query_vec_id"),
         F.col(id_col).alias("vec_id"),
-        cosine_expr(F.col("qvec"), F.col(vec_col)).alias("cosine"),
+        cosine_expr(F.col(qvec_col), F.col(vec_col)).alias("cosine"),
     )
     return topk_per_group(scored, "query_vec_id", "cosine", k, id_col="vec_id")

@@ -106,11 +106,17 @@ def refresh_rounds(
             batch = batch.drop("_sha").localCheckpoint(eager=True)
         # append this round's batch with doc ids AFTER all existing docs —
         # prior shards keep their (id, content) fingerprints, so the build
-        # below reuses them byte-identically and constructs only new shards
-        new_ing = assign_doc_ids_scalable(batch).withColumn(
+        # below reuses them byte-identically and constructs only new shards.
+        # Keep a handle on the assignment result BEFORE withColumn: derived
+        # DataFrames drop the _persisted_src attribute, so the unpersist
+        # below must target assigned itself (round-2 ADVICE leak — one
+        # DISK_ONLY partitioning leaked per refresh round)
+        assigned = assign_doc_ids_scalable(batch)
+        new_ing = assigned.withColumn(
             "doc_id", F.col("doc_id") + F.lit(n_total)
         )
         new_ing.write.mode("append").parquet(corpus_path)
+        getattr(assigned, "_persisted_src", assigned).unpersist()
         ingested = spark.read.parquet(corpus_path)
         n_total = ingested.count()
 

@@ -175,3 +175,93 @@ def test_resume_state_is_not_driver_resident(spark, tiny_corpus, tmp_path, monke
     build_index(tiny_corpus, d, docs_per_shard=8, term_buckets=4, shard_batch=5)
     n_shards = 25
     assert max(collected_sizes) < n_shards / 2, collected_sizes
+
+
+def test_compact_index_equals_fresh_build(spark, tiny_corpus, tiny_queries, tmp_path):
+    """compact(index, kill) ≡ build_index(filtered corpus): only the touched
+    shards are rebuilt (manifest build_tag proves it), killed ids never
+    surface, and search results match a from-scratch index over the
+    survivors bit-for-bit (same recomputed N/df/avgdl)."""
+    from dense_retriever_spark.index.build import compact_index
+    from dense_retriever_spark.index.search import search
+
+    d = str(tmp_path / "cidx")
+    build_index(tiny_corpus, d, docs_per_shard=32, term_buckets=2,
+                build_tag="orig")
+    kill = tiny_corpus.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    killed = {r["doc_id"] for r in kill.collect()}
+    touched_shards = {i // 32 for i in killed}
+
+    compact_index(spark, d, kill)
+
+    man = _read_manifest(IndexPaths(d), spark)
+    rebuilt = {s for s, row in man.items() if row["build_tag"] == "compact"}
+    untouched = {s for s, row in man.items() if row["build_tag"] == "orig"}
+    assert rebuilt == touched_shards  # exactly the shards with killed docs
+    assert untouched and rebuilt.isdisjoint(untouched)
+
+    fresh = str(tmp_path / "fidx")
+    survivors = tiny_corpus.filter(~F.col("doc_id").isin(list(killed)))
+    build_index(survivors, fresh, docs_per_shard=32, term_buckets=2)
+
+    got = search(spark, d, tiny_queries, k=10).collect()
+    want = search(spark, fresh, tiny_queries, k=10).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(((r["query_id"], r["doc_id"], r["score"], r["rank"])
+                   for r in got)) == sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in want)
+    assert not ({r["doc_id"] for r in got} & killed)
+
+    # BM25 stats recomputed over the survivors
+    stats = json.load(open(IndexPaths(d).stats))
+    assert stats["n_docs"] == 200 - len(killed)
+
+
+def test_compact_removes_fully_killed_shard(spark, tiny_corpus, tmp_path):
+    """Killing every doc of a shard leaves an ORPHAN the manifest⟂fingerprint
+    sweep must delete — ghost postings in shards/ or global/ would otherwise
+    serve doc ids absent from the docs table (round-2 ADVICE)."""
+    from dense_retriever_spark.index.build import compact_index
+
+    d = str(tmp_path / "oidx")
+    build_index(tiny_corpus, d, docs_per_shard=32, term_buckets=2)
+    # shard 2 = doc ids [64, 96)
+    kill = tiny_corpus.filter(
+        (F.col("doc_id") >= 64) & (F.col("doc_id") < 96)
+    ).select("doc_id")
+    compact_index(spark, d, kill)
+
+    assert not os.path.isdir(os.path.join(d, "shards", "shard=2"))
+    assert 2 not in _read_manifest(IndexPaths(d), spark)
+    shards = spark.read.parquet(IndexPaths(d).shards)
+    assert shards.filter(F.col("shard") == 2).count() == 0
+    # global/ carries no postings for the killed range either
+    from dense_retriever_spark.index.codec import decode_postings as dec
+    for r in spark.read.parquet(IndexPaths(d).global_dir).collect():
+        ids, _, _ = dec(bytes(r["postings"]))
+        assert not ((ids >= 64) & (ids < 96)).any()
+
+
+def test_format_version_and_dps_fail_fast(spark, tiny_corpus, tmp_path):
+    """An index stamped with an older posting format, or resumed with a
+    different docs_per_shard, must be REFUSED loudly — not silently
+    misdecoded (round-2 ADVICE)."""
+    from dense_retriever_spark.index.search import load_stats, search
+
+    d = str(tmp_path / "vidx")
+    build_index(tiny_corpus, d, docs_per_shard=64, term_buckets=2)
+    stats_path = IndexPaths(d).stats
+
+    with pytest.raises(ValueError, match="docs_per_shard"):
+        build_index(tiny_corpus, d, docs_per_shard=32, term_buckets=2)
+
+    s = json.load(open(stats_path))
+    s["format_version"] = 1
+    json.dump(s, open(stats_path, "w"))
+    with pytest.raises(ValueError, match="format"):
+        load_stats(d)
+    with pytest.raises(ValueError, match="format"):
+        build_index(tiny_corpus, d, docs_per_shard=64, term_buckets=2)
+    q = spark.createDataFrame([(0, "def")], "query_id long, query string")
+    with pytest.raises(ValueError, match="format"):
+        search(spark, d, q, k=5)

@@ -76,3 +76,62 @@ def test_oov_and_empty(spark, idx):
         )
     )
     assert oov.count() == 0
+
+
+def test_blockmax_under_tombstones_rank_identity(spark, idx, tiny_corpus, tiny_queries):
+    """A live kill-list keeps block-max pruning (blocks re-derived from the
+    masked postings, VERDICT r2 #2) and stays rank-identical to the exact
+    scorer under the same kill-list; no killed doc ever surfaces."""
+    from pyspark.sql import functions as F
+
+    kill = tiny_corpus.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    killed = {r["doc_id"] for r in kill.collect()}
+    bm = search(
+        spark, idx, tiny_queries, k=K, use_blockmax=True, exclude_doc_ids=kill
+    ).collect()
+    ex = search(
+        spark, idx, tiny_queries, k=K, use_blockmax=False, exclude_doc_ids=kill
+    ).collect()
+    assert len(bm) > 0
+    assert not ({r["doc_id"] for r in bm} & killed)
+    _assert_rank_identical(bm, ex)
+
+
+def test_blockmax_branch_runs_with_tombstones(spark, idx, monkeypatch):
+    """Unit-level spy on _score_shard: with a NON-EMPTY exclusion set the
+    block-max scorer is still invoked (round 2 silently fell back to the
+    exact path) and its re-derived blocks yield the exact scorer's result."""
+    import numpy as np
+
+    import dense_retriever_spark.index.search as searchmod
+    from dense_retriever_spark.index import wand
+    from dense_retriever_spark.index.search import _score_shard, load_stats
+
+    stats = load_stats(idx)
+    pdf = (
+        spark.read.parquet(f"{idx}/shards")
+        .filter("shard = 0")
+        .select("shard", "term", "postings", "block_last_doc_id",
+                "block_max_tf", "block_min_dl")
+        .toPandas()
+    )
+    terms = sorted(pdf["term"].tolist())[:5]
+    queries = {0: terms}
+    idfs = {t: 1.5 for t in terms}
+    excl = np.array([1, 3, 5], dtype=np.int64)
+    calls = []
+    real = wand.score_query_blockmax
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(searchmod, "score_query_blockmax", spy)
+    args = (queries, idfs, 10, stats["k1"], stats["b"], stats["avgdl"],
+            stats["docs_per_shard"])
+    out_bm = _score_shard(pdf, *args, True, excl)
+    assert calls, "blockmax scorer was not invoked under a live exclusion set"
+    out_ex = _score_shard(pdf, *args, False, excl)
+    cols = ["query_id", "doc_id", "score"]
+    assert out_bm[cols].values.tolist() == out_ex[cols].values.tolist()
+    assert not set(out_bm["doc_id"].tolist()) & {1, 3, 5}
