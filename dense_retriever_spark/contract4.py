@@ -395,7 +395,7 @@ SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
 # reproduces the whole construction with the same hash ORDER BY ... LIMIT K.
 # ---------------------------------------------------------------------------
 
-_IVF_K, _IVF_NPROBE = 20, 8
+_IVF_K, _IVF_NPROBE = 16, 8
 
 
 def q37_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

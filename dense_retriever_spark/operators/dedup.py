@@ -215,10 +215,27 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def _checkpointer(df_sample: DataFrame, checkpoint_dir: str | None):
+    """Returns a lineage-cut function. ``localCheckpoint`` (default) stores
+    blocks on executors — fast but NON-RELIABLE (an executor loss
+    mid-iteration kills the job because the truncated lineage cannot
+    recompute). Passing ``checkpoint_dir`` switches to reliable
+    ``checkpoint()`` against that path (HDFS/object store on a cluster), the
+    right setting for a 100TB run where executor churn is routine."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    sc = df_sample.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 50,
     checkpoint_every: int = 5,
+    algorithm: str = "label_prop",
+    checkpoint_dir: str | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (doc_id, component), where
     component = the minimum doc_id reachable through the pair graph.
@@ -227,29 +244,42 @@ def connected_components(
     simhash_pairs / embedding_near_dup_pairs) into dedup DECISIONS: keep one
     representative per component, drop the rest.
 
-    Min-label propagation as pure DataFrame rounds: each round every node
-    takes the min label among itself and its neighbors — one shuffle
-    (join + groupBy-min) per round, converging in graph-diameter rounds.
-    Dedup graphs are overwhelmingly star/clique-shaped (duplicates of one
-    template), so the diameter is tiny; a long-chain adversarial graph would
-    want the large-star/small-star contraction (O(log n) rounds) instead —
-    same join primitives, noted here as the upgrade path. Lineage is cut
-    with localCheckpoint every ``checkpoint_every`` rounds so the plan stays
-    bounded; driver state per round is ONE scalar (the changed-label count).
+    Two algorithms (identical output, parity-tested):
+
+    - ``label_prop`` (default): each round every node takes the min label
+      among itself and its neighbors — one shuffle (join + groupBy-min) per
+      round, converging in graph-DIAMETER rounds. Dedup graphs are
+      overwhelmingly star/clique-shaped (duplicates of one template), so the
+      diameter is tiny and this is the cheaper plan.
+    - ``star``: the Kiveris et al. large-star/small-star contraction —
+      alternating rounds rewire every node toward its neighborhood minimum,
+      converging in O(log n) rounds even on adversarial long-CHAIN graphs
+      where label_prop needs diameter rounds (tests assert ≤ ~log2(n)+c
+      rounds on a 10k-node path).
+
+    ``checkpoint_dir``: use reliable ``checkpoint()`` instead of
+    ``localCheckpoint`` (see _checkpointer) — required for executor-loss
+    tolerance on long cluster runs. ``stats``: pass a dict to receive
+    {"rounds": n}. Driver state per round is ONE scalar either way.
     """
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ckpt = _checkpointer(pairs, checkpoint_dir)
+    if algorithm == "star":
+        return _cc_star(edges, max_iter, ckpt, stats)
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = ckpt(edges)
     # 'node'/'label' names are disjoint from the edge columns so the per-round
     # edges ⋈ labels self-join never has ambiguous attributes
-    labels = (
+    labels = ckpt(
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    rounds = 0
     for i in range(max_iter):
         neighbor = edges.join(labels, edges["v"] == labels["node"]).select(
             F.col("u").alias("node"), F.col("label")
@@ -260,7 +290,7 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            new_labels = ckpt(new_labels)
         changed = (
             new_labels.join(
                 labels.select("node", F.col("label").alias("old")), "node"
@@ -269,11 +299,105 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        rounds = i + 1
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
+
+
+def _cc_star(
+    edges: DataFrame,
+    max_iter: int,
+    ckpt,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) as pure DataFrame rounds.
+
+    Each round is two operations over the edge set E (kept as unordered
+    pairs, stored canonically u > v to halve the shuffle):
+
+    - LARGE-STAR: for every node u, connect every STRICTLY LARGER neighbor
+      to m(u) = min(Γ(u) ∪ {u}). Long chains fold toward local minima.
+    - SMALL-STAR: for every node u, connect every not-larger neighbor
+      (and u itself) to m(u). Stars flatten onto their minimum.
+
+    Both preserve connectivity; the composition strictly decreases a
+    potential function until E is a union of stars rooted at component
+    minima — O(log² n) rounds proven, O(log n) observed (the 10k-path test
+    converges in ~log2(n) rounds where label_prop would need 10k).
+    Convergence is detected by (count, sum-of-edge-hashes) stability — one
+    aggregate row to the driver per round.
+    """
+    # canonical parent pointers: (child u, parent v) with v < u
+    e = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    e = ckpt(e)
+    # original node set, captured once for the final output
+    nodes = ckpt(
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    prev_sig = None
+    rounds = 0
+    for i in range(max_iter):
+        # --- large-star: neighbors of u = both endpoints' adjacency
+        nbrs = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))  # strictly larger neighbors
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star over the large-star output (parent pointers v < u)
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+        )
+        e = ckpt(small)
+        rounds = i + 1
+        sig = e.agg(
+            F.count("*").alias("n"),
+            # decimal sum: ANSI mode errors on long overflow, and a sum of
+            # 64-bit hashes overflows immediately
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    # converged: every edge is (child, root). Roots + isolated-in-E nodes
+    # label themselves.
+    comp = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))
+    roots = nodes.join(
+        e.select(F.col("u").alias("node")).distinct(), "node", "left_anti"
+    ).select(F.col("node").alias("doc_id"), F.col("node").alias("component"))
+    return comp.unionByName(roots)
 
 
 def simhash_pairs(

@@ -16,6 +16,8 @@ Reference analog: the FAISS exact inner-product top-n search
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -79,8 +81,6 @@ def srp_planes(dim: int, n_planes: int, seed: int = 7):
     """Seeded Gaussian hyperplanes, (n_planes, dim) float64. The SAME matrix
     parameterizes the Spark operator and the DuckDB oracle SQL (literals are
     emitted with repr(), which round-trips doubles exactly)."""
-    import numpy as np
-
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
 
 
@@ -131,8 +131,6 @@ def srp_bits_pandas(df: DataFrame, vec_col, planes, out_col: str):
     left-to-right order as F.aggregate), then rounds to 6dp before the sign
     test (tests/test_similarity.py parity test).
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     spark = df.sparkSession

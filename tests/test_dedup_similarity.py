@@ -126,7 +126,7 @@ def test_ivf_ann_recall_and_pruning(spark):
         F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
     )
     exact = cosine_topk_bruteforce(emb, qv, k=3).collect()
-    approx = ivf_ann_topk(emb, qv, k=3, n_centroids=20, nprobe=8).collect()
+    approx = ivf_ann_topk(emb, qv, k=3, n_centroids=16, nprobe=8).collect()
     truth = {(r["query_vec_id"], r["vec_id"]) for r in exact}
     got = {(r["query_vec_id"], r["vec_id"]) for r in approx}
     recall = len(truth & got) / len(truth)
@@ -264,8 +264,56 @@ def test_connected_components_property(spark):
             for r in connected_components(df).collect()
         }
         assert got == want
+        got_star = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(df, algorithm="star").collect()
+        }
+        assert got_star == want
 
     check()
+
+
+def test_star_contraction_logarithmic_on_path_graph(spark):
+    """The large-star/small-star algorithm converges in ~log2(n) rounds on a
+    10k-node PATH — the adversarial topology where label propagation needs
+    diameter (=10k) rounds. This is the O(log n) guarantee that makes the
+    operator safe on arbitrary 100TB dup graphs."""
+    import math
+
+    from dense_retriever_spark.operators.dedup import connected_components
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats: dict = {}
+    comp = connected_components(
+        pairs, max_iter=40, algorithm="star", stats=stats
+    )
+    rows = comp.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
+    # +4 slack over log2(n)≈13.3: one stability-detection round + constants
+    assert stats["rounds"] <= int(math.log2(n)) + 6, stats
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage cuts to reliable checkpoint() files —
+    same answer, and the checkpoint dir is actually used."""
+    import os
+
+    from dense_retriever_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    ckdir = str(tmp_path / "cc_ckpt")
+    got = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert os.path.isdir(ckdir) and os.listdir(ckdir)
 
 
 def test_dedup_pipeline_end_to_end(spark, tmp_path, dup_heavy):
@@ -351,3 +399,68 @@ def test_srp_ann_recall_vs_bruteforce(spark):
     got = {(r["query_vec_id"], r["vec_id"]) for r in approx}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"recall@3 = {recall:.3f}"
+
+
+def test_srp_bits_pandas_parity_with_expr(spark):
+    """The broadcast-matrix pandas bits path is BIT-IDENTICAL to the native
+    expr path (same sequential float64 fold, same 6dp round-before-sign)."""
+    from dense_retriever_spark.operators.similarity import (
+        srp_bits_expr,
+        srp_bits_pandas,
+        srp_planes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    planes = srp_planes(64, 64, seed=7)
+    a = (
+        emb.withColumn("_bits", srp_bits_expr(F.col("embedding"), planes))
+        .select("vec_id", "_bits")
+        .collect()
+    )
+    b = (
+        srp_bits_pandas(emb, F.col("embedding"), planes, "_bits")
+        .select("vec_id", "_bits")
+        .collect()
+    )
+    assert {r["vec_id"]: r["_bits"] for r in a} == {
+        r["vec_id"]: r["_bits"] for r in b
+    }
+
+
+def test_srp_high_dim_uses_pandas_path(spark):
+    """At production dims (768 × 128 planes = 98k literals) the operator must
+    route through the broadcast-matrix pandas UDF — the literal-tree expr
+    path stalls Catalyst analysis — and still return well-formed top-k."""
+    import time
+
+    from dense_retriever_spark.operators.similarity import (
+        SRP_LITERAL_LIMIT,
+        srp_ann_topk,
+    )
+
+    dim, n_planes = 768, 128
+    assert dim * n_planes > SRP_LITERAL_LIMIT
+    n = 400
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.rand(seed=100 + d) * 2 - 1).cast("float") for d in range(dim)]
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
+    )
+    t0 = time.time()
+    out = srp_ann_topk(
+        emb, qv, k=3, dim=dim, n_planes=n_planes, bands=16, seed=7
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # the pandas bits path, not literals
+    rows = out.collect()
+    took = time.time() - t0
+    assert took < 120, f"high-dim SRP took {took:.0f}s"
+    assert 0 < len(rows) <= 9
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_vec_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
