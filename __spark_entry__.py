@@ -24,8 +24,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dense_retriever_spark.contract2 import QUERIES2
     from dense_retriever_spark.contract3 import QUERIES3
     from dense_retriever_spark.contract4 import QUERIES4
+    from dense_retriever_spark.contract5 import QUERIES5
 
-    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4}
+    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -33,5 +34,6 @@ def oracle_sql() -> dict[str, str]:
     from dense_retriever_spark.contract2 import ORACLES2
     from dense_retriever_spark.contract3 import ORACLES3
     from dense_retriever_spark.contract4 import ORACLES4
+    from dense_retriever_spark.contract5 import ORACLES5
 
-    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4}
+    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5}

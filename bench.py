@@ -5,7 +5,12 @@ local[$SPARK_GRAFT_CPUS]:
 
   q_index_build    — full inverted-index build over a synthetic code corpus
                      (N scaled to the sf dir's documents table × 4)
+  q_build_metaonly — the same build with a METADATA-ONLY docs table (content
+                     joined from the immutable input at build time — the
+                     100 TB storage knob, build_index(content_source=...))
   q_search_indexed — 100-query top-10 via the block-max engine on that index
+  q_search_tombstoned — the same 100 queries with a ~14% kill-list applied
+                     (block-max stays live on masked postings)
   q_bm25_exact     — index-free exact BM25 (the oracle path) on documents
   q_dedup_minhash  — MinHash-LSH candidate pairs + Jaccard verify on documents
   q_cosine_topk    — brute-force cosine top-3 on embeddings
@@ -80,11 +85,23 @@ def main() -> None:
     corpus = assign_doc_ids_scalable(raw)
     idx_dir = tempfile.mkdtemp(prefix="bench_idx_", dir=shm) + "/index"
 
+    dps = max(1024, n_corpus // (2 * cpus))
     timed("q_index_build", lambda: build_index(
-        corpus, idx_dir, docs_per_shard=max(1024, n_corpus // (2 * cpus)),
-        term_buckets=4,
+        corpus, idx_dir, docs_per_shard=dps, term_buckets=4,
     ))
     extra["files_per_sec"] = round(n_corpus / timings["q_index_build"], 1)
+
+    # metadata-only variant: docs table carries NO content; phase A joins the
+    # immutable staged input by natural key instead (the 100 TB storage knob)
+    idx_meta = os.path.dirname(idx_dir) + "/index_meta"
+    corpus_meta = assign_doc_ids_scalable(spark.read.parquet(stage_root + "/corpus"))
+    timed("q_build_metaonly", lambda: build_index(
+        corpus_meta, idx_meta, docs_per_shard=dps, term_buckets=4,
+        content_source=spark.read.parquet(stage_root + "/corpus"),
+    ))
+    extra["files_per_sec_metaonly"] = round(
+        n_corpus / timings["q_build_metaonly"], 1
+    )
 
     queries = synth_queries(spark, 100).cache()
     queries.count()
@@ -95,6 +112,20 @@ def main() -> None:
     timed("q_search_indexed", run_search)
     extra["search_p50_ms_per_query"] = round(
         timings["q_search_indexed"] / 100 * 1000, 2
+    )
+
+    # tombstoned search: ~14% of docs masked at query time, blockmax live
+    kill = (
+        spark.read.parquet(f"{idx_dir}/docs")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+    timed("q_search_tombstoned", lambda: search(
+        spark, idx_dir, queries, k=10, use_blockmax=True,
+        exclude_doc_ids=kill,
+    ).count())
+    extra["search_tombstoned_p50_ms_per_query"] = round(
+        timings["q_search_tombstoned"] / 100 * 1000, 2
     )
 
     timed("q_bm25_exact", lambda: q01_bm25_topk(spark, sf_dir).count())

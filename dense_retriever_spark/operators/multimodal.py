@@ -18,6 +18,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+try:  # real image decoding when the deployment has PIL; stub otherwise
+    from PIL import Image as _PILImage
+
+    _HAS_PIL = True
+except ImportError:  # this container ships no media libs — documented stub
+    _PILImage = None
+    _HAS_PIL = False
+
 FEATURE_SCHEMA = (
     "asset_id long, kind string, payload_sha string, n_bytes long, "
     "feat array<float>"
@@ -101,34 +109,63 @@ RESIZE_SCHEMA = (
 )
 
 
-def resize_images(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+def resize_images(
+    assets: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    decoder: str = "stub",
+) -> DataFrame:
     """mapInPandas image resize — 1:1 row shape, images only.
 
     The kind filter is a plain predicate BEFORE the UDF, so Catalyst pushes
     it to the scan and non-image payload bytes are never Arrow-transferred.
-    The pixel work is STUBBED (no PIL in this container): the output is the
-    real resize metadata plus a deterministic content fingerprint
-    resize_sha = sha256(payload_sha ':' WxH), which the DuckDB oracle
-    reproduces — so the full Arrow batch path is hash-verified even though
-    the decoder is fake. A real deployment swaps ONLY the body marked below.
+
+    ``decoder``:
+    - ``"stub"`` (default): deterministic fake pixels — the output is the
+      real resize metadata plus a content fingerprint
+      resize_sha = sha256(payload_sha ':' WxH) the DuckDB oracle reproduces,
+      so the full Arrow batch path is hash-verified even with no media libs
+      in the container.
+    - ``"pil"``: REAL decode+resize via PIL (import-guarded at module load);
+      raises ImportError at call time if PIL is absent. resize_sha becomes
+      the sha256 of the resized RGB pixel bytes.
+    - ``"auto"``: pil when available, stub otherwise.
     """
+    if decoder == "auto":
+        decoder = "pil" if _HAS_PIL else "stub"
+    if decoder not in ("pil", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "pil" and not _HAS_PIL:
+        raise ImportError("decoder='pil' requested but PIL is not installed")
+    use_pil = decoder == "pil"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         for pdf in batches:
-            # --- STUB: real impl decodes pdf["payload"], resizes, re-encodes
-            shas = [hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]]
-            out_sha = [
-                hashlib.sha256(f"{s}:{width}x{height}".encode()).hexdigest()
-                for s in shas
-            ]
-            # --- end stub
+            if use_pil:
+                out_sha, out_bytes = [], []
+                for p in pdf["payload"]:
+                    img = _PILImage.open(io.BytesIO(bytes(p))).convert("RGB")
+                    raw = img.resize((width, height)).tobytes()
+                    out_sha.append(hashlib.sha256(raw).hexdigest())
+                    out_bytes.append(len(raw))
+            else:
+                shas = [
+                    hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
+                ]
+                out_sha = [
+                    hashlib.sha256(f"{s}:{width}x{height}".encode()).hexdigest()
+                    for s in shas
+                ]
+                out_bytes = [width * height * 3] * len(pdf)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
                     "width": width,
                     "height": height,
-                    "out_bytes": width * height * 3,
+                    "out_bytes": out_bytes,
                     "resize_sha": out_sha,
                 }
             )

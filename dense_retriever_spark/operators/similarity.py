@@ -153,13 +153,21 @@ def srp_bits_pandas(df: DataFrame, vec_col, planes, out_col: str):
     return df.withColumn(out_col, _bits(vec_col))
 
 
-def _with_srp_bits(df: DataFrame, vec_col, planes, out_col: str = "_bits"):
+def _with_srp_bits(
+    df: DataFrame, vec_col, planes, out_col: str = "_bits",
+    bits_path: str = "auto",
+):
     """Materialize the sign-bits column by whichever path fits the plane
     count: native expr below SRP_LITERAL_LIMIT (oracle-reproducible, zero
     Python), broadcast-matrix pandas UDF above it (planning-time safe at
-    production dims)."""
-    if planes.size <= SRP_LITERAL_LIMIT:
+    production dims). ``bits_path`` forces 'expr' or 'pandas' (the two are
+    bit-identical — parity-tested and oracle-gated)."""
+    if bits_path == "expr" or (
+        bits_path == "auto" and planes.size <= SRP_LITERAL_LIMIT
+    ):
         return df.withColumn(out_col, srp_bits_expr(vec_col, planes))
+    if bits_path not in ("auto", "pandas"):
+        raise ValueError(f"unknown bits_path {bits_path!r}")
     return srp_bits_pandas(df, vec_col, planes, out_col)
 
 
@@ -194,6 +202,7 @@ def srp_ann_topk(
     vec_col: str = "embedding",
     qid_col: str = "query_vec_id",
     qvec_col: str = "qvec",
+    bits_path: str = "auto",
 ) -> DataFrame:
     """ANN top-k via seeded sign-random-projection LSH, multi-band OR.
 
@@ -215,6 +224,7 @@ def srp_ann_topk(
         ),
         F.col("evec"),
         planes,
+        bits_path=bits_path,
     ).withColumn(
         "bk", F.explode(_band_structs_from_bits(F.col("_bits"), n_planes, bands))
     )
@@ -224,6 +234,7 @@ def srp_ann_topk(
         ),
         F.col("qvec"),
         planes,
+        bits_path=bits_path,
     ).withColumn(
         "bk", F.explode(_band_structs_from_bits(F.col("_bits"), n_planes, bands))
     )

@@ -116,7 +116,15 @@ def windowed_event_counts(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        # decimal sum: float partial-aggregation order is nondeterministic
+        # across partitionings/engines; decimal addition is exact, so the
+        # rounded total is reproducible (and DuckDB-verifiable, q40)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,8)")), 4)
+            .cast("double")
+            .alias("total"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

@@ -464,3 +464,43 @@ def test_srp_high_dim_uses_pandas_path(spark):
     for r in rows:
         per_q.setdefault(r["query_vec_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_resize_images_pil_branch_or_guard(spark):
+    """Runs EITHER way: with PIL present the real decoder resizes synthetic
+    PNGs (pixel-byte sha, true byte count); without it, decoder='pil' raises
+    a clear ImportError and the stub path stays deterministic."""
+    from dense_retriever_spark.operators import multimodal
+    from dense_retriever_spark.operators.multimodal import (
+        resize_images,
+        synth_assets,
+    )
+
+    if multimodal._HAS_PIL:
+        import io
+
+        from PIL import Image
+
+        bufs = []
+        for i in range(3):
+            img = Image.new("RGB", (8 + i, 8), color=(i * 40, 10, 200))
+            b = io.BytesIO()
+            img.save(b, format="PNG")
+            bufs.append(b.getvalue())
+        df = spark.createDataFrame(
+            [(i, "image", bufs[i]) for i in range(3)],
+            "asset_id long, kind string, payload binary",
+        )
+        out = resize_images(df, width=4, height=4, decoder="pil").collect()
+        assert len(out) == 3
+        assert all(r["out_bytes"] == 4 * 4 * 3 for r in out)
+        assert len({r["resize_sha"] for r in out}) == 3  # distinct pixels
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="PIL"):
+            resize_images(synth_assets(spark, 10), decoder="pil")
+        # auto falls back to the stub and stays deterministic
+        a = resize_images(synth_assets(spark, 30), decoder="auto").collect()
+        b = resize_images(synth_assets(spark, 30), decoder="stub").collect()
+        assert a == b

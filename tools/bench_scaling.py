@@ -47,6 +47,7 @@ import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, ".")
 cpus = int(sys.argv[1]); corpus_path = sys.argv[2]; n_docs = int(sys.argv[3])
 n_queries = int(sys.argv[4]); dps = int(sys.argv[5])
+metaonly = len(sys.argv) > 6 and sys.argv[6] == "metaonly"
 from dense_retriever_spark.session import get_spark
 spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=cpus,
@@ -56,13 +57,17 @@ from dense_retriever_spark.index.build import build_index
 from dense_retriever_spark.index.search import search
 
 corpus = spark.read.parquet(corpus_path)
+# metaonly: the docs table stores metadata only; phase A fetches content by
+# natural-key join against the immutable staged table (100 TB storage knob)
+content_source = spark.read.parquet(corpus_path) if metaonly else None
 queries = synth_queries(spark, n_queries).cache(); queries.count()
 idx = tempfile.mkdtemp(prefix=f"scale_{cpus}_", dir="/dev/shm") + "/index"
 
 t0 = time.time()
 # identical build config at both parallelism levels — only cores differ
 timings = {}
-build_index(corpus, idx, docs_per_shard=dps, term_buckets=4, timings=timings)
+build_index(corpus, idx, docs_per_shard=dps, term_buckets=4, timings=timings,
+            content_source=content_source)
 t_build = time.time() - t0
 
 t0 = time.time()
@@ -96,10 +101,11 @@ def stage(n_docs: int) -> str:
     return path
 
 
-def run(cpus: int, corpus_path: str, n_docs: int, n_queries: int, dps: int) -> dict:
+def run(cpus: int, corpus_path: str, n_docs: int, n_queries: int, dps: int,
+        mode: str = "staged") -> dict:
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cpus), corpus_path, str(n_docs),
-         str(n_queries), str(dps)],
+         str(n_queries), str(dps), "metaonly" if mode == "metaonly" else "staged"],
         capture_output=True, text=True, cwd=REPO,
         env=dict(os.environ, SPARK_GRAFT_CPUS=str(cpus)),
     )
@@ -197,7 +203,24 @@ def main() -> None:
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     n_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     dps = int(sys.argv[4]) if len(sys.argv) > 4 else 2048
+    mode = sys.argv[5] if len(sys.argv) > 5 else "staged"
     path = stage(n_docs)
+    if mode == "metaonly":
+        # single-level datapoint: staged-content vs metadata-only build cost
+        # at the same parallelism (VERDICT r2 #7)
+        r_staged = run(n_cores * 4, path, n_docs, n_queries, dps)
+        r_meta = run(n_cores * 4, path, n_docs, n_queries, dps, mode="metaonly")
+        report = {
+            "mode": "metaonly-comparison",
+            "n_docs": n_docs,
+            "staged_content": r_staged,
+            "metadata_only": r_meta,
+            "build_ratio_meta_vs_staged": round(
+                r_meta["t_build_sec"] / r_staged["t_build_sec"], 3
+            ),
+        }
+        print(json.dumps(report, indent=2))
+        return
     r1 = run(n_cores, path, n_docs, n_queries, dps)
     r2 = run(n_cores * 4, path, n_docs, n_queries, dps)
     report = write_report(n_docs, n_queries, r1, r2, dps)
