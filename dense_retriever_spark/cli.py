@@ -61,7 +61,9 @@ def cmd_build_index(args) -> None:
         shard_batch=args.shard_batch,
         content_source=content_source,
     )
-    print(json.dumps({"index": paths.root, "stats": json.load(open(paths.stats))}))
+    from dense_retriever_spark.index.search import load_stats
+
+    print(json.dumps({"index": paths.root, "stats": load_stats(paths.root)}))
 
 
 def cmd_search(args) -> None:
@@ -180,7 +182,9 @@ def cmd_compact(args) -> None:
         F.col(args.kill_col).cast("long").alias("doc_id")
     )
     paths = compact_index(spark, args.index_dir, kill)
-    print(json.dumps({"index": paths.root, "stats": json.load(open(paths.stats))}))
+    from dense_retriever_spark.index.search import load_stats
+
+    print(json.dumps({"index": paths.root, "stats": load_stats(paths.root)}))
 
 
 def cmd_refresh(args) -> None:

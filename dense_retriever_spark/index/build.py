@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dense_retriever_spark import BM25_B, BM25_K1
+from dense_retriever_spark.index import fs
 from dense_retriever_spark.index.codec import (
     block_meta,
     encode_postings,
@@ -180,7 +181,7 @@ def _manifest_df(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
     partition overwrite — latest build of a shard wins, the driver holds no
     per-shard state. This replaces the round-1 one-JSON-file-per-shard layout
     that put O(n_shards) files + dict entries on the driver."""
-    if not os.path.isdir(paths.manifest):
+    if not fs.is_dir(paths.manifest, spark):
         return None
     df = spark.read.schema(MANIFEST_SCHEMA).parquet(paths.manifest)
     return df.withColumn("shard_id", F.col("shard_id").cast("long"))
@@ -376,24 +377,25 @@ def build_index(
 
     spark = ingested.sparkSession
     paths = IndexPaths(index_dir)
-    os.makedirs(index_dir, exist_ok=True)
+    # all driver-side metadata I/O goes through the Hadoop FileSystem API, so
+    # index_dir may be any Spark-supported scheme (file://, hdfs://, s3a://)
+    fs.mkdirs(index_dir, spark)
 
     # FAIL FAST on incompatible prior state (round-2 ADVICE): resuming into
     # an index written by an older posting format, or with a different
     # docs_per_shard, would silently mis-decode blobs / mis-route doc ids.
     from dense_retriever_spark.index.codec import FORMAT_VERSION
 
-    if os.path.exists(paths.stats):
-        with open(paths.stats) as f:
-            prev = json.load(f)
+    if fs.exists(paths.stats, spark):
+        prev = json.loads(fs.read_text(paths.stats, spark))
         pv = prev.get("format_version", 1)
         if pv != FORMAT_VERSION:
             raise ValueError(
                 f"index at {index_dir} has posting format v{pv}; this build "
                 f"writes v{FORMAT_VERSION} — use a fresh index directory"
             )
-        if prev.get("docs_per_shard") != docs_per_shard and os.path.isdir(
-            paths.manifest
+        if prev.get("docs_per_shard") != docs_per_shard and fs.is_dir(
+            paths.manifest, spark
         ):
             raise ValueError(
                 f"index at {index_dir} was built with docs_per_shard="
@@ -460,8 +462,6 @@ def build_index(
         # — e.g. compaction killed every doc of a shard) would otherwise be
         # merged into global/ and served as ghost results. The collect is
         # O(#vanished shards) — zero on every append-only/resume build.
-        import shutil as _shutil
-
         orphans = (
             manifest.select("shard_id")
             .distinct()
@@ -474,13 +474,8 @@ def build_index(
         )
         for r in orphans:
             sid = int(r["shard_id"])
-            _shutil.rmtree(
-                os.path.join(paths.shards, f"shard={sid}"), ignore_errors=True
-            )
-            _shutil.rmtree(
-                os.path.join(paths.manifest, f"shard_id={sid}"),
-                ignore_errors=True,
-            )
+            fs.delete(os.path.join(paths.shards, f"shard={sid}"), spark)
+            fs.delete(os.path.join(paths.manifest, f"shard_id={sid}"), spark)
         if orphans:
             manifest = _manifest_df(spark, paths)
     if manifest is not None:
@@ -614,8 +609,9 @@ def build_index(
         else None
     )
     mark("stats_metrics")
-    with open(paths.stats, "w") as f:
-        json.dump(
+    fs.write_text(
+        paths.stats,
+        json.dumps(
             {
                 "format_version": FORMAT_VERSION,
                 "n_docs": n_docs,
@@ -633,9 +629,10 @@ def build_index(
                     "posting_bytes": int(roll["posting_bytes"] or 0) if roll else 0,
                     "total_tokens": int(total_tokens),
                 },
-            },
-            f,
-        )
+            }
+        ),
+        spark,
+    )
     return paths
 
 
@@ -661,20 +658,19 @@ def compact_index(
     post-compaction search scores exactly like a tombstoned search of the
     original index (tests/test_index_build.py asserts bit-equality).
 
-    The filtered docs table is staged OUTSIDE the index dir first because
-    build_index overwrites paths.docs — reading and overwriting the same
-    parquet path in one job is undefined.
+    The filtered docs table is staged to a sibling path inside the index dir
+    first because build_index overwrites paths.docs — reading and overwriting
+    the same parquet path in one job is undefined. Staging on the SAME
+    filesystem as the index (not driver-local temp) keeps compaction correct
+    on a real cluster where executors cannot see the driver's /tmp.
     """
-    import shutil
-    import tempfile
-
     from dense_retriever_spark.index.search import load_stats
 
     paths = IndexPaths(index_dir)
     stats = load_stats(index_dir)  # format_version-checked
     docs = spark.read.parquet(paths.docs).drop("shard")
     kept = docs.join(kill_df.select("doc_id"), "doc_id", "left_anti")
-    staging = tempfile.mkdtemp(prefix="compact_staging_")
+    staging = os.path.join(paths.root, "_compact_staging")
     try:
         kept.write.mode("overwrite").parquet(staging)
         out = build_index(
@@ -689,5 +685,5 @@ def compact_index(
             content_source=content_source,
         )
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        fs.delete(staging, spark)
     return out

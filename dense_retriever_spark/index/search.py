@@ -43,10 +43,11 @@ RESULT_SCHEMA = "query_id long, doc_id long, score double, rank int"
 
 
 def load_stats(index_dir: str) -> dict:
+    from dense_retriever_spark.index import fs
     from dense_retriever_spark.index.codec import FORMAT_VERSION
 
-    with open(IndexPaths(index_dir).stats) as f:
-        stats = json.load(f)
+    # Hadoop FS read — index_dir may be file://, hdfs://, s3a:// (fs.py)
+    stats = json.loads(fs.read_text(IndexPaths(index_dir).stats))
     v = stats.get("format_version", 1)
     if v != FORMAT_VERSION:
         raise ValueError(

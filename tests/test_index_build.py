@@ -265,3 +265,31 @@ def test_format_version_and_dps_fail_fast(spark, tiny_corpus, tmp_path):
     q = spark.createDataFrame([(0, "def")], "query_id long, query string")
     with pytest.raises(ValueError, match="format"):
         search(spark, d, q, k=5)
+
+
+def test_index_on_scheme_qualified_uri(spark, tiny_corpus, tiny_queries, tmp_path):
+    """S13: the whole index lifecycle (build → search → compact) works with a
+    scheme-qualified index_dir — driver-side metadata I/O goes through the
+    Hadoop FileSystem API (index/fs.py), so s3a://canonically works the same
+    way; file:// is the scheme the sandbox can serve."""
+    from dense_retriever_spark.index.build import compact_index
+    from dense_retriever_spark.index.search import load_stats, search
+
+    d = "file://" + str(tmp_path / "uidx")
+    build_index(tiny_corpus, d, docs_per_shard=64, term_buckets=2)
+    stats = load_stats(d)
+    assert stats["n_docs"] == 200
+    got = search(spark, d, tiny_queries, k=5).collect()
+    assert len(got) > 0
+    # local-path twin must produce the identical index (same plans, same fs)
+    d2 = str(tmp_path / "uidx2")
+    build_index(tiny_corpus, d2, docs_per_shard=64, term_buckets=2)
+    want = search(spark, d2, tiny_queries, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # compaction through the scheme too (staging lives on the same fs)
+    kill = tiny_corpus.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    compact_index(spark, d, kill)
+    assert load_stats(d)["n_docs"] == 180
+    after = {r["doc_id"] for r in search(spark, d, tiny_queries, k=5).collect()}
+    assert not any(i % 10 == 0 for i in after)
+    assert not os.path.isdir(str(tmp_path / "uidx" / "_compact_staging"))
