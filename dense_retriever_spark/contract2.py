@@ -253,10 +253,14 @@ SELECT query_vec_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
 
 def q17_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dense_retriever_spark.functions.text_stats import langid_scores
+    from dense_retriever_spark.functions.tokenizer import tokenize_text_expr
 
     docs = _docs(spark, sf_dir)
     return (
-        docs.select(langid_scores("text").alias("pred_lang"))
+        # tokens materialized ONCE; the inline form would re-tokenize per
+        # language inside langid's argmax (see text_stats.langid_scores)
+        docs.withColumn("_toks", tokenize_text_expr("text"))
+        .select(langid_scores("text", toks=F.col("_toks")).alias("pred_lang"))
         .groupBy("pred_lang")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -299,9 +303,14 @@ Q17_SQL = _langid_sql()
 
 def q18_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dense_retriever_spark.functions.text_stats import quality_score
+    from dense_retriever_spark.functions.tokenizer import tokenize_text_expr
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", quality_score("text").alias("quality")
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("_toks", tokenize_text_expr("text"))
+        .select(
+            "doc_id", quality_score("text", toks=F.col("_toks")).alias("quality")
+        )
     )
 
 

@@ -49,21 +49,26 @@ def punct_ratio(col: Column | str) -> Column:
     )
 
 
-def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:
-    toks = tokenize_text_expr(col)
+def stopword_ratio(
+    col: Column | str, stopwords: list[str], toks: Column | None = None
+) -> Column:
+    """Pass ``toks`` (a materialized token-array COLUMN) on hot paths: the
+    inline tokenizer expression is otherwise duplicated into every reference
+    (Catalyst shares no common subexpressions across an expression tree)."""
+    toks = tokenize_text_expr(col) if toks is None else toks
     sw = F.array(*[F.lit(s) for s in stopwords])
     hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
     return hits.cast("double") / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
 
 
-def quality_score(col: Column | str) -> Column:
+def quality_score(col: Column | str, toks: Column | None = None) -> Column:
     """Composite quality score in [0,1]: favors moderate length, low
-    punctuation, some stopwords (prose-ness)."""
+    punctuation, some stopwords (prose-ness). ``toks``: see stopword_ratio."""
     c = F.col(col) if isinstance(col, str) else col
     n = token_count_ws(c).cast("double")
     len_score = F.least(n / F.lit(100.0), F.lit(1.0))
     p = punct_ratio(c)
-    sw = stopword_ratio(c, LANG_STOPWORDS["en"])
+    sw = stopword_ratio(c, LANG_STOPWORDS["en"], toks=toks)
     return F.round(
         F.lit(0.5) * len_score + F.lit(0.25) * (F.lit(1.0) - F.least(p * 5, F.lit(1.0)))
         + F.lit(0.25) * F.least(sw * 5, F.lit(1.0)),
@@ -71,24 +76,32 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
-def langid_scores(col: Column | str) -> Column:
-    """Predicted language by max stopword-hit ratio across LANG_STOPWORDS;
-    'und' (undetermined) when no stopword hits at all."""
-    toks = tokenize_text_expr(col)
-    best_lang, best_score = F.lit("und"), F.lit(0)
-    pairs = []
-    for lang, words in LANG_STOPWORDS.items():
-        sw = F.array(*[F.lit(s) for s in words])
+def langid_scores(col: Column | str, toks: Column | None = None) -> Column:
+    """Predicted language by max stopword-hit count across LANG_STOPWORDS;
+    'und' (undetermined) when no stopword hits at all. Ties break to the
+    alphabetically-first language code.
+
+    Shaped as ONE array_max over (hits, -lang_index) structs: the previous
+    when-chain argmax nested every language's hit expression into every later
+    branch, duplicating the tokenizer subtree ~3x per language (no
+    common-subexpression sharing pre-analysis). ``toks``: see stopword_ratio.
+    """
+    toks = tokenize_text_expr(col) if toks is None else toks
+    langs = sorted(LANG_STOPWORDS)
+    entries = []
+    for i, lang in enumerate(langs):
+        sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
         hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
-        pairs.append((lang, hits))
-    # argmax with deterministic tie-break on language code order
-    expr = F.lit("und")
-    best = F.lit(0)
-    for lang, hits in sorted(pairs, key=lambda p: p[0], reverse=True):
-        # iterate reverse-sorted so earlier alphabetical wins ties (>=)
-        expr = F.when(hits >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(expr)
-        best = F.greatest(best, hits)
-    return expr
+        # struct ordering is field-lexicographic: max hits first, then max
+        # (-i) = the earliest alphabetical language on a hit tie
+        entries.append(
+            F.struct(hits.alias("hits"), F.lit(-i).alias("negi"))
+        )
+    best = F.array_max(F.array(*entries))
+    lang_arr = F.array(*[F.lit(x) for x in langs])
+    return F.when(
+        best["hits"] >= 1, F.element_at(lang_arr, -best["negi"] + 1)
+    ).otherwise(F.lit("und"))
 
 
 def fingerprint_md5(col: Column | str) -> Column:
