@@ -216,12 +216,109 @@ def q44_srp_ann_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q45 — PII/secret scrubbing (functions/scrub.py): deterministic "dirty"
+# augmentation of documents (synthetic email + IP + hex secret per row, SQL-
+# reproducible), then redact + per-rule audit counts; the redacted TEXT is
+# verified via its sha256, not just the counts.
+# ---------------------------------------------------------------------------
+
+def q45_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract import _docs
+    from dense_retriever_spark.functions.scrub import (
+        redact_expr,
+        redaction_counts,
+    )
+
+    dirty = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com from 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)),
+            F.lit(".7 key "),
+            F.sha2(F.col("doc_id").cast("string"), 256),
+        ).alias("t"),
+    )
+    return dirty.withColumn("_c", redaction_counts(F.col("t"))).select(
+        "doc_id",
+        F.col("_c.email").alias("n_email"),
+        F.col("_c.ipv4").alias("n_ipv4"),
+        F.col("_c.hex_secret").alias("n_secret"),
+        F.sha2(redact_expr(F.col("t")), 256).alias("redacted_sha"),
+    )
+
+
+def _q45_sql() -> str:
+    from dense_retriever_spark.functions.scrub import REDACT_RULES
+
+    pats = {name: pat for name, pat, _ in REDACT_RULES}
+    repls = {name: repl for name, _, repl in REDACT_RULES}
+    redacted = "t"
+    for name, pat, repl in REDACT_RULES:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pats[n]}')) AS n_{alias}"
+        for n, alias in (("email", "email"), ("ipv4", "ipv4"), ("hex_secret", "secret"))
+    )
+    return f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.'
+              || (doc_id % 256)::VARCHAR || '.7 key ' || sha256(doc_id::VARCHAR) AS t
+  FROM documents
+)
+SELECT doc_id, {counts}, sha256({redacted}) AS redacted_sha
+FROM dirty
+"""
+
+
+# ---------------------------------------------------------------------------
+# q46 — repetition-ratio quality filter (the Gopher/C4 duplicate-line-mass
+# signal). Documents are single-line prose, so the query lifts tokens to
+# lines (space → newline, SQL-reproducible) — dup-token mass per doc.
+# ---------------------------------------------------------------------------
+
+def q46_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract import _docs
+    from dense_retriever_spark.functions.scrub import repetition_ratio
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", " ", "\n").alias("t")
+    )
+    return docs.select(
+        "doc_id", repetition_ratio(F.col("t")).alias("rep_ratio")
+    )
+
+
+Q46_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split(replace(text, ' ', chr(10)), chr(10)),
+                          x -> trim(x)),
+           x -> x <> '') AS lines
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(lines) <= 0 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(lines))::DOUBLE
+                           / len(lines)::DOUBLE, 6)
+       END AS rep_ratio
+FROM t
+"""
+
+
 QUERIES5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_windowed_events": q40_windowed_events,
     "q41_compacted_search": q41_compacted_search,
     "q42_dedup_components_star": q42_dedup_components_star,
     "q43_tombstoned_search": q43_tombstoned_search,
     "q44_srp_ann_pandas": q44_srp_ann_pandas,
+    "q45_redact": q45_redact,
+    "q46_repetition": q46_repetition,
 }
 
 
@@ -235,6 +332,8 @@ def _oracles5() -> dict[str, str]:
         "q42_dedup_components_star": Q36_SQL,
         "q43_tombstoned_search": _q43_sql(),
         "q44_srp_ann_pandas": _q31_sql(),
+        "q45_redact": _q45_sql(),
+        "q46_repetition": Q46_SQL,
     }
 
 

@@ -180,3 +180,41 @@ def test_text_stats(spark):
     # normalization-insensitive fingerprint: 0 and 3 tokenize identically
     assert out[0]["fp"] == out[3]["fp"]
     assert out[0]["fpr"] == out[3]["fpr"]
+
+
+def test_scrub_redaction_and_repetition(spark):
+    """PII/secret scrubbing + repetition filter (functions/scrub.py):
+    redaction replaces every occurrence, audit counts match, repetition
+    ratio is the duplicate-line mass."""
+    from dense_retriever_spark.functions.scrub import (
+        redact_expr,
+        redaction_counts,
+        repetition_ratio,
+    )
+
+    rows = [
+        (1, "mail a@b.com and c.d@e.org, ip 10.1.2.3, key " + "ab" * 20),
+        (2, "clean prose with no pii at all"),
+        (3, "dup\ndup\ndup\nunique"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_expr("t").alias("red"),
+            redaction_counts("t").alias("c"),
+            repetition_ratio("t").alias("rep"),
+        ).collect()
+    }
+    assert out[1]["c"]["email"] == 2
+    assert out[1]["c"]["ipv4"] == 1
+    assert out[1]["c"]["hex_secret"] == 1
+    assert "<EMAIL>" in out[1]["red"] and "<IP>" in out[1]["red"]
+    assert "<SECRET>" in out[1]["red"]
+    assert "a@b.com" not in out[1]["red"] and "10.1.2.3" not in out[1]["red"]
+    assert out[2]["red"] == rows[1][1]  # clean text untouched
+    assert out[2]["c"]["email"] == 0
+    assert abs(out[3]["rep"] - 0.5) < 1e-9  # 4 lines, 2 distinct
+    assert out[4]["rep"] == 0.0  # empty doc: no lines, defined as 0
