@@ -26,3 +26,49 @@ def test_no_unbounded_global_window(spark, name, fn):
     df = fn(spark, SF_DIR)
     viol = global_window_violations(df)
     assert not viol, f"{name}: partition-less Window over un-limited input: {viol}"
+
+
+def test_ivf_centroid_selection_plan(spark):
+    """Fixed-K centroid selection must execute as TakeOrderedAndProject
+    (O(K) per partition, merged on the driver) — never a global sort — and
+    the assignment join must BROADCAST the K centroids."""
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_centroids,
+    )
+    from dense_retriever_spark.plans import physical_plan
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cplan = physical_plan(ivf_centroids(emb, 8))
+    assert "TakeOrderedAndProject" in cplan, cplan
+    assert "Sort " not in cplan  # no global sort of the table
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
+    )
+    aplan = physical_plan(ivf_ann_topk(emb, qv, k=3, n_centroids=8, nprobe=4))
+    assert "BroadcastNestedLoopJoin" in aplan or "BroadcastHashJoin" in aplan
+
+
+def test_search_scan_term_pushdown(spark, tmp_path):
+    """The index-shard scan must reach parquet with the query-term IN filter
+    pushed down (PushedFilters) and read only the scoring columns."""
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.plans import scan_pushdown_info
+
+    from dense_retriever_spark.corpus import ingest, synth_corpus
+    from dense_retriever_spark.index.build import IndexPaths, build_index
+
+    d = str(tmp_path / "pidx")
+    build_index(ingest(synth_corpus(spark, 100)), d, docs_per_shard=64,
+                term_buckets=2)
+    shard_rows = (
+        spark.read.parquet(IndexPaths(d).shards)
+        .filter(F.col("term").isin(["def", "import"]))
+        .select("shard", "term", "postings")
+    )
+    info = scan_pushdown_info(shard_rows)
+    assert info["pushed_filters"] and "In(term" in info["pushed_filters"], info
+    assert "content" not in (info["read_schema"] or "")
