@@ -311,6 +311,46 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# q47 — seeded weighted sampling without replacement (Efraimidis–Spirakis
+# A-Res over md5-derived uniforms): the training-data-mix sampler. Top-100
+# documents by u^(1/n_chars); executes as TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_WS_SEED, _WS_N = 42, 100
+
+
+def q47_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract import _docs
+    from dense_retriever_spark.operators.negatives import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    out = weighted_sample(
+        docs, _WS_N, "n_chars", seed=_WS_SEED, key_cols=["doc_id"]
+    )
+    return out.select(
+        "doc_id", "n_chars", F.col("_es_key").alias("es_key")
+    )
+
+
+Q47_SQL = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST('0x' || substr(md5('ws{_WS_SEED}' || chr(31) || doc_id::VARCHAR),
+                             1, 15) AS BIGINT) AS hh
+  FROM documents
+),
+k AS (
+  SELECT doc_id, n_chars, hh,
+         round(pow((hh + 1)::DOUBLE / {float(1 << 60)!r},
+                   1.0 / greatest(n_chars::DOUBLE, 1e-12)), 9) AS es_key
+  FROM h
+)
+SELECT doc_id, n_chars, es_key
+FROM k ORDER BY es_key DESC, hh ASC LIMIT {_WS_N}
+"""
+
+
 QUERIES5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_windowed_events": q40_windowed_events,
     "q41_compacted_search": q41_compacted_search,
@@ -319,6 +359,7 @@ QUERIES5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_srp_ann_pandas": q44_srp_ann_pandas,
     "q45_redact": q45_redact,
     "q46_repetition": q46_repetition,
+    "q47_weighted_sample": q47_weighted_sample,
 }
 
 
@@ -334,6 +375,7 @@ def _oracles5() -> dict[str, str]:
         "q44_srp_ann_pandas": _q31_sql(),
         "q45_redact": _q45_sql(),
         "q46_repetition": Q46_SQL,
+        "q47_weighted_sample": Q47_SQL,
     }
 
 

@@ -106,3 +106,44 @@ def train_test_split(df: DataFrame, test_frac: float = 0.2, seed: int = 42):
     bucket = F.pmod(F.xxhash64(*df.columns, F.lit(seed)), F.lit(100))
     thresh = int(test_frac * 100)
     return df.filter(bucket >= thresh), df.filter(bucket < thresh)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    seed: int = 42,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Seeded weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res): key = u^(1/w) with u uniform in (0,1], take the n largest keys.
+    P[item in sample] is proportional-ish to weight, exactly the ES
+    guarantee — the standard way to weight a training-data mix (sample code
+    files by stars, documents by quality score) in one distributed pass.
+
+    u is md5-derived from (seed, key columns), so the sample is a pure
+    function of the data: reproducible across runs, partitionings and engines
+    (the DuckDB oracle recomputes it bit-for-bit — q47). The key is rounded
+    to 9dp BEFORE ranking (round-before-rank rule; pow last-ulp differences
+    between JVM and libm must not flip an order) with the hash as the
+    deterministic tie-break. Executes as TakeOrderedAndProject: O(n) per
+    partition + driver merge, never a global sort.
+    """
+    cols = key_cols or df.columns
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.lit(f"ws{seed}"), *cols)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    # u in (0, 1]: (h + 1) / 2^60 over the 60-bit hash domain
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
+    key = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    return (
+        df.withColumn("_es_key", key)
+        .withColumn("_es_h", h)
+        .orderBy(F.desc("_es_key"), F.asc("_es_h"))
+        .limit(n)
+    )
