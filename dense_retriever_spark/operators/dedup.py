@@ -384,10 +384,12 @@ def _cc_star(
         .distinct()
     )
     e = ckpt(e)
-    # original node set, captured once for the final output
+    # original node set, captured once for the final output — from the RAW
+    # edge input (pre self-loop filter), so a node appearing only in (x, x)
+    # pairs still gets its singleton row, exactly like label_prop
     nodes = ckpt(
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
     )
     prev_sig = None

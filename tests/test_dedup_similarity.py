@@ -240,7 +240,9 @@ def test_connected_components_property(spark):
         )
     )
     def check(raw_pairs):
-        pairs = [(min(a, b), max(a, b)) for a, b in raw_pairs if a != b]
+        # keep self-pairs too: (x, x) must yield a singleton component in
+        # BOTH algorithms (star captures nodes pre self-loop filter)
+        pairs = [(min(a, b), max(a, b)) for a, b in raw_pairs]
         if not pairs:
             return
         # reference union-find
