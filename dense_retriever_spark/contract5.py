@@ -351,6 +351,40 @@ FROM k ORDER BY es_key DESC, hh ASC LIMIT {_WS_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# q48 — metadata-FILTERED block-max search: only lang='en' documents may
+# surface. The allowed set is most of the corpus, so it is never collected —
+# it rides as a second relation COGROUPED with the shard scan (search.py
+# include_doc_ids). Oracle: exact BM25 with the same post-scoring inclusion
+# (statistics stay those of the full index, the tombstone convention).
+# ---------------------------------------------------------------------------
+
+def q48_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract import BM25_QUERIES, _docs
+    from dense_retriever_spark.contract4 import _q38_index_dir
+    from dense_retriever_spark.index.search import search
+
+    idx = _q38_index_dir(spark, sf_dir)
+    allowed = (
+        _docs(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id")
+    )
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    raw = search(
+        spark, idx, queries, k=50, use_blockmax=True, include_doc_ids=allowed
+    )
+    return _rounded_topk(raw)
+
+
+def _q48_sql() -> str:
+    from dense_retriever_spark.contract import Q01_SQL
+
+    assert Q01_SQL.count("FROM sc") == 1
+    return Q01_SQL.replace(
+        "FROM sc",
+        "FROM sc WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
+    )
+
+
 QUERIES5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_windowed_events": q40_windowed_events,
     "q41_compacted_search": q41_compacted_search,
@@ -360,6 +394,7 @@ QUERIES5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_redact": q45_redact,
     "q46_repetition": q46_repetition,
     "q47_weighted_sample": q47_weighted_sample,
+    "q48_filtered_search": q48_filtered_search,
 }
 
 
@@ -376,6 +411,7 @@ def _oracles5() -> dict[str, str]:
         "q45_redact": _q45_sql(),
         "q46_repetition": Q46_SQL,
         "q47_weighted_sample": Q47_SQL,
+        "q48_filtered_search": _q48_sql(),
     }
 
 

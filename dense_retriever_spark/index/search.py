@@ -69,17 +69,21 @@ def _score_shard(
     docs_per_shard: int,
     use_blockmax: bool,
     excl: np.ndarray | None = None,
+    incl: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """applyInPandas body: all index rows of ONE shard matching query terms.
 
     ``excl``: sorted array of tombstoned doc ids (search-time deletes, e.g. a
     dedup kill-list) — masked out of every term's postings before scoring.
-    Block-max pruning STAYS LIVE under a kill-list: block metadata is
-    re-derived from the masked posting arrays (codec.block_meta over arrays
-    already decoded — O(shard postings), the cost the scorer is paying
-    anyway), so dedup-heavy query loads keep WAND pruning instead of silently
-    falling back to the exact scan (the round-2 2-5× regression).
-    Exactness is unaffected either way (blockmax is exact by construction).
+    ``incl``: sorted array of ALLOWED doc ids for THIS shard (metadata-
+    filtered search — only these docs may appear in results). Both masks can
+    be live at once. Block-max pruning STAYS LIVE under any mask: block
+    metadata is re-derived from the masked posting arrays (codec.block_meta
+    over arrays already decoded — O(shard postings), the cost the scorer is
+    paying anyway), so dedup-heavy / filtered query loads keep WAND pruning
+    instead of silently falling back to the exact scan (the round-2 2-5×
+    regression). Exactness is unaffected either way (blockmax is exact by
+    construction).
     """
     from dense_retriever_spark.index.codec import block_meta
 
@@ -95,15 +99,19 @@ def _score_shard(
             shard_excl = None
     decoded: dict[str, tuple] = {}
     blocks: dict[str, tuple] = {}
+    masked = shard_excl is not None or incl is not None
     for r in pdf.itertuples(index=False):  # one iteration per TERM, not per row
         ids, tfs, dls = decode_postings(r.postings)
         if shard_excl is not None:
             keep = ~np.isin(ids, shard_excl, assume_unique=True)
             ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-            if ids.size == 0:
-                continue
+        if incl is not None and ids.size:
+            keep = np.isin(ids, incl, assume_unique=True)
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        if masked and ids.size == 0:
+            continue
         decoded[r.term] = (ids, tfs, dls)
-        if shard_excl is not None:
+        if masked:
             # masked postings → stored blocks are misaligned; rebuild them
             blocks[r.term] = block_meta(ids, tfs, dls)
         else:
@@ -151,6 +159,7 @@ def search(
     use_blockmax: bool = True,
     exclude_doc_ids: DataFrame | None = None,
     eager: bool = True,
+    include_doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 search. Output: (query_id, doc_id, score, rank).
 
@@ -161,6 +170,16 @@ def search(
     _score_shard). The list is collected and broadcast (fine to ~10^7 ids);
     a kill-list beyond that is a compaction event: ``compact_index`` /
     the ``compact`` CLI rebuilds exactly the affected shards.
+
+    ``include_doc_ids``: optional (doc_id) DataFrame of ALLOWED docs —
+    metadata-filtered search (e.g. ``docs.filter(lang == 'py')``); only these
+    ids may appear in results (BM25 statistics stay those of the full index,
+    mirroring the tombstone convention). Unlike the kill-list this set can be
+    most of the corpus, so it is NEVER collected: the ids flow as a second
+    Spark relation COGROUPED with the shard scan by shard id — each shard's
+    scorer receives exactly its slice, shards with no allowed docs are
+    semi-join-pruned from the scan, and driver state stays O(1) at any
+    selectivity. Composes with ``exclude_doc_ids``.
 
     ``eager`` (default): run the search now, RELEASE the per-call
     (qmap, idfs, excl) broadcast immediately, and return the materialized
@@ -225,13 +244,37 @@ def search(
                 "block_max_tf", "block_min_dl")
     )
 
-    def _score(pdf):
-        q, i, x = bc.value
-        return _score_shard(pdf, q, i, k, k1, b, avgdl, dps, use_blockmax, x)
+    if include_doc_ids is None:
 
-    local = shard_rows.groupBy("shard").applyInPandas(
-        _score, schema=RESULT_SCHEMA,
-    )
+        def _score(pdf):
+            q, i, x = bc.value
+            return _score_shard(pdf, q, i, k, k1, b, avgdl, dps, use_blockmax, x)
+
+        local = shard_rows.groupBy("shard").applyInPandas(
+            _score, schema=RESULT_SCHEMA,
+        )
+    else:
+        # allowed ids cogrouped with the shard scan: each shard's scorer
+        # sees exactly its slice, nothing is collected to the driver
+        incl_flat = include_doc_ids.select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        ).withColumn("shard", (F.col("doc_id") / dps).cast("long"))
+        shard_rows = shard_rows.join(
+            incl_flat.select("shard").distinct(), "shard", "left_semi"
+        )
+
+        def _score_co(left, right):
+            q, i, x = bc.value
+            incl = np.unique(right["doc_id"].to_numpy(np.int64))
+            return _score_shard(
+                left, q, i, k, k1, b, avgdl, dps, use_blockmax, x, incl
+            )
+
+        local = (
+            shard_rows.groupby("shard")
+            .cogroup(incl_flat.groupby("shard"))
+            .applyInPandas(_score_co, schema=RESULT_SCHEMA)
+        )
     # 4. global exact top-k with the deterministic tie-break
     out = topk_per_group(local.drop("rank"), "query_id", "score", k)
     out = out.select(

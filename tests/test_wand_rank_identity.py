@@ -135,3 +135,32 @@ def test_blockmax_branch_runs_with_tombstones(spark, idx, monkeypatch):
     cols = ["query_id", "doc_id", "score"]
     assert out_bm[cols].values.tolist() == out_ex[cols].values.tolist()
     assert not set(out_bm["doc_id"].tolist()) & {1, 3, 5}
+
+
+def test_filtered_search_include_docs(spark, idx, tiny_corpus, tiny_queries):
+    """Metadata-filtered search (include_doc_ids, cogrouped allowed-set): only
+    allowed docs surface, blockmax == exact under the filter, and it composes
+    with a tombstone kill-list."""
+    from pyspark.sql import functions as F
+
+    allowed = tiny_corpus.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    aset = {r["doc_id"] for r in allowed.collect()}
+    bm = search(
+        spark, idx, tiny_queries, k=K, use_blockmax=True,
+        include_doc_ids=allowed,
+    ).collect()
+    ex = search(
+        spark, idx, tiny_queries, k=K, use_blockmax=False,
+        include_doc_ids=allowed,
+    ).collect()
+    assert len(bm) > 0
+    assert {r["doc_id"] for r in bm} <= aset
+    _assert_rank_identical(bm, ex)
+
+    kill = tiny_corpus.filter(F.col("doc_id") % 6 == 1).select("doc_id")
+    kset = {r["doc_id"] for r in kill.collect()}
+    both = search(
+        spark, idx, tiny_queries, k=K,
+        include_doc_ids=allowed, exclude_doc_ids=kill,
+    ).collect()
+    assert {r["doc_id"] for r in both} <= (aset - kset)
