@@ -68,13 +68,27 @@ def cmd_build_index(args) -> None:
 
 def cmd_search(args) -> None:
     spark = _spark(args)
+    from pyspark.sql import functions as F
+
     from dense_retriever_spark.index.search import search
     from dense_retriever_spark.sources.readers import read_queries_tsv
 
     queries = read_queries_tsv(spark, args.queries).selectExpr(
         "qid as query_id", "text as query"
     )
-    res = search(spark, args.index_dir, queries, k=args.top_n)
+
+    def ids(path):
+        if not path:
+            return None
+        return spark.read.parquet(path).select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+
+    res = search(
+        spark, args.index_dir, queries, k=args.top_n,
+        exclude_doc_ids=ids(args.exclude_ids),
+        include_doc_ids=ids(args.include_ids),
+    )
     res.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"results": args.out, "rows": res.count()}))
 
@@ -225,6 +239,10 @@ def main(argv=None) -> None:
     s.add_argument("--index-dir", required=True)
     s.add_argument("--queries", required=True, help="TSV qid\\ttext")
     s.add_argument("--top-n", type=int, default=50)  # reference default
+    s.add_argument("--exclude-ids", default=None,
+                   help="parquet (doc_id): tombstone kill-list")
+    s.add_argument("--include-ids", default=None,
+                   help="parquet (doc_id): allowed set (metadata filter)")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_search)
 
