@@ -128,6 +128,20 @@ def main() -> None:
         timings["q_search_tombstoned"] / 100 * 1000, 2
     )
 
+    # metadata-filtered search: ~33% allowed set, cogrouped with the scan
+    allowed = (
+        spark.read.parquet(f"{idx_dir}/docs")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+    )
+    timed("q_search_filtered", lambda: search(
+        spark, idx_dir, queries, k=10, use_blockmax=True,
+        include_doc_ids=allowed,
+    ).count())
+    extra["search_filtered_p50_ms_per_query"] = round(
+        timings["q_search_filtered"] / 100 * 1000, 2
+    )
+
     timed("q_bm25_exact", lambda: q01_bm25_topk(spark, sf_dir).count())
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
