@@ -669,6 +669,12 @@ def compact_index(
     paths = IndexPaths(index_dir)
     stats = load_stats(index_dir)  # format_version-checked
     docs = spark.read.parquet(paths.docs).drop("shard")
+    if "content" not in docs.columns and content_source is None:
+        raise ValueError(
+            "this index has a METADATA-ONLY docs table (built with "
+            "content_source); compaction must re-read content — pass the "
+            "immutable input table as content_source"
+        )
     kept = docs.join(kill_df.select("doc_id"), "doc_id", "left_anti")
     staging = os.path.join(paths.root, "_compact_staging")
     try:

@@ -69,6 +69,8 @@ def delete(path: str, spark: SparkSession | None = None) -> None:
 def read_text(path: str, spark: SparkSession | None = None) -> str:
     s = _active_spark(spark)
     fs, p = _fs_path(s, path)
+    if not fs.exists(p):  # Pythonic error instead of an opaque Py4J wrapper
+        raise FileNotFoundError(path)
     stream = fs.open(p)
     try:
         # commons-io ships with Spark; avoids a byte-at-a-time py4j loop
