@@ -254,15 +254,18 @@ def q45_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q45_sql() -> str:
     from dense_retriever_spark.functions.scrub import REDACT_RULES
 
-    pats = {name: pat for name, pat, _ in REDACT_RULES}
-    repls = {name: repl for name, _, repl in REDACT_RULES}
+    # sequential audit counts, mirroring redaction_counts: rule N is counted
+    # on the text after rules 1..N-1 have been applied (actual replacements,
+    # not raw pattern occurrences — round-3 ADVICE)
+    aliases = {"email": "email", "ipv4": "ipv4", "hex_secret": "secret"}
     redacted = "t"
+    count_exprs = []
     for name, pat, repl in REDACT_RULES:
+        count_exprs.append(
+            f"len(regexp_extract_all({redacted}, '{pat}')) AS n_{aliases[name]}"
+        )
         redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
-    counts = ", ".join(
-        f"len(regexp_extract_all(t, '{pats[n]}')) AS n_{alias}"
-        for n, alias in (("email", "email"), ("ipv4", "ipv4"), ("hex_secret", "secret"))
-    )
+    counts = ", ".join(count_exprs)
     return f"""
 WITH dirty AS (
   SELECT doc_id,

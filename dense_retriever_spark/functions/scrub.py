@@ -37,16 +37,21 @@ def redact_expr(col: Column | str) -> Column:
 
 
 def redaction_counts(col: Column | str) -> Column:
-    """struct<email,ipv4,hex_secret>: how many redactions each rule makes —
-    the audit column a scrubbing job writes next to the cleaned text.
+    """struct<email,ipv4,hex_secret>: how many replacements each rule ACTUALLY
+    makes — the audit column a scrubbing job writes next to the cleaned text.
+    Rule N is counted on the text after rules 1..N-1 have been applied (the
+    same sequential order as redact_expr), so overlapping patterns are never
+    double-counted: a 32+-hex-char email local part is one <EMAIL>
+    replacement, not an <EMAIL> plus a phantom <SECRET> (round-3 ADVICE).
     Counted as size(regexp_extract_all), not by diffing lengths."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.struct(
-        *[
-            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(name)
-            for name, pat, _repl in REDACT_RULES
-        ]
-    )
+    cur = F.col(col) if isinstance(col, str) else col
+    counts = []
+    for name, pat, repl in REDACT_RULES:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(name)
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return F.struct(*counts)
 
 
 def repetition_ratio(col: Column | str) -> Column:

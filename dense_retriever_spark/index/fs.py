@@ -5,17 +5,28 @@ Spark itself, so it already works on any scheme the cluster's Hadoop conf
 supports (file://, hdfs://, s3a://, gs://...). What used to be local-only was
 the handful of driver-side METADATA operations — stats.json read/write,
 manifest-dir existence, orphan-shard deletes. These helpers route those
-through the same Hadoop FileSystem the executors use, so ``index_dir`` can be
-an object-store URI end-to-end (SURVEY.md §2.1 S13; exercised in tests via
-``file://`` — the one Hadoop scheme the sandbox can serve).
+through the Hadoop FileSystem API, so ``index_dir`` can be an object-store
+URI end-to-end (SURVEY.md §2.1 S13; exercised in tests via ``file://`` — the
+one Hadoop scheme the sandbox can serve).
 
 Plain paths (no scheme) resolve against the default filesystem, which in
 local mode is ``file:///`` — so every existing local-path caller behaves
 identically. All calls are O(1) driver-side metadata RPCs; none sit on a hot
 path (one stats read per search/build, one existence probe per build).
+
+Isolation: each helper opens a PRIVATE ``FileSystem.newInstance`` and closes
+it when done, instead of mutating the JVM-wide instance that
+``Path.getFileSystem`` returns from Hadoop's cache. The checksum flags below
+must be disabled for stats.json interop, but the cached instance is SHARED
+with Spark's own parquet/shuffle I/O on the same scheme — flipping
+``setVerifyChecksum(False)`` on it would silently disable CRC verification
+for every subsequent read in the process (round-3 ADVICE). ``newInstance``
+bypasses the cache, so the flags live and die with the helper call.
 """
 
 from __future__ import annotations
+
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -27,62 +38,75 @@ def _active_spark(spark: SparkSession | None) -> SparkSession:
     return s
 
 
+@contextmanager
 def _fs_path(spark: SparkSession | None, path: str):
     s = _active_spark(spark)
     jvm = s._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(s._jsc.hadoopConfiguration())
-    # LocalFileSystem writes .crc sidecars and then REFUSES files modified by
-    # plain open() (ChecksumException); stats.json must stay interoperable
-    # with ordinary tooling. Remote stores (s3a/hdfs) ignore or no-op these.
+    conf = s._jsc.hadoopConfiguration()
+    # Resolve the URI exactly like Path.getFileSystem (default-fs fallback
+    # for scheme-less paths), but through newInstance — a PRIVATE, uncached
+    # FileSystem object this helper owns and closes.
+    uri = p.toUri()
+    if uri.getScheme() is None:
+        uri = jvm.org.apache.hadoop.fs.FileSystem.getDefaultUri(conf)
+    fs = jvm.org.apache.hadoop.fs.FileSystem.newInstance(uri, conf)
     try:
-        fs.setWriteChecksum(False)
-        fs.setVerifyChecksum(False)
-    except Exception:
-        pass
-    return fs, p
+        # LocalFileSystem writes .crc sidecars and then REFUSES files
+        # modified by plain open() (ChecksumException); stats.json must stay
+        # interoperable with ordinary tooling. Remote stores (s3a/hdfs)
+        # ignore or no-op these. Safe on the private instance only.
+        try:
+            fs.setWriteChecksum(False)
+            fs.setVerifyChecksum(False)
+        except Exception:
+            pass
+        yield s, fs, p
+    finally:
+        fs.close()
 
 
 def exists(path: str, spark: SparkSession | None = None) -> bool:
-    fs, p = _fs_path(spark, path)
-    return bool(fs.exists(p))
+    with _fs_path(spark, path) as (_, fs, p):
+        return bool(fs.exists(p))
 
 
 def is_dir(path: str, spark: SparkSession | None = None) -> bool:
-    fs, p = _fs_path(spark, path)
-    return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
+    with _fs_path(spark, path) as (_, fs, p):
+        return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
 
 
 def mkdirs(path: str, spark: SparkSession | None = None) -> None:
-    fs, p = _fs_path(spark, path)
-    fs.mkdirs(p)
+    with _fs_path(spark, path) as (_, fs, p):
+        fs.mkdirs(p)
 
 
 def delete(path: str, spark: SparkSession | None = None) -> None:
     """Recursive delete; no-op if absent (shutil.rmtree(ignore_errors=True)
     semantics)."""
-    fs, p = _fs_path(spark, path)
-    if fs.exists(p):
-        fs.delete(p, True)
+    with _fs_path(spark, path) as (_, fs, p):
+        if fs.exists(p):
+            fs.delete(p, True)
 
 
 def read_text(path: str, spark: SparkSession | None = None) -> str:
-    s = _active_spark(spark)
-    fs, p = _fs_path(s, path)
-    if not fs.exists(p):  # Pythonic error instead of an opaque Py4J wrapper
-        raise FileNotFoundError(path)
-    stream = fs.open(p)
-    try:
-        # commons-io ships with Spark; avoids a byte-at-a-time py4j loop
-        return s._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
+    with _fs_path(spark, path) as (s, fs, p):
+        if not fs.exists(p):  # Pythonic error instead of opaque Py4J wrapper
+            raise FileNotFoundError(path)
+        stream = fs.open(p)
+        try:
+            # commons-io ships with Spark; avoids byte-at-a-time py4j loops
+            return s._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
 
 
 def write_text(path: str, content: str, spark: SparkSession | None = None) -> None:
-    fs, p = _fs_path(spark, path)
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(content.encode("utf-8")))
-    finally:
-        out.close()
+    with _fs_path(spark, path) as (_, fs, p):
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()

@@ -111,6 +111,8 @@ def _score_shard(
         if masked and ids.size == 0:
             continue
         decoded[r.term] = (ids, tfs, dls)
+        if not use_blockmax:
+            continue  # exact scorer never reads blocks — skip the numpy work
         if masked:
             # masked postings → stored blocks are misaligned; rebuild them
             blocks[r.term] = block_meta(ids, tfs, dls)

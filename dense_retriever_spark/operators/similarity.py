@@ -122,6 +122,29 @@ def srp_bits_expr(vec_col, planes):
 SRP_LITERAL_LIMIT = 8192
 
 
+#: one plane-matrix broadcast per (SparkContext, matrix) — repeated SRP calls
+#: in a long-lived session (refresh loops, per-round near-dup passes) reuse
+#: it instead of leaking one driver+executor broadcast per call until GC
+#: (round-3 ADVICE — the same leak class search() fixed in round 2).
+_PLANES_BC_CACHE: dict[tuple, object] = {}
+
+
+def _planes_broadcast(spark, mat: np.ndarray):
+    import hashlib
+
+    app = spark.sparkContext.applicationId
+    key = (app, mat.shape, hashlib.sha1(mat.tobytes()).hexdigest())
+    bc = _PLANES_BC_CACHE.get(key)
+    if bc is None:
+        # drop entries from dead contexts so restarted sessions don't pin
+        # stale JavaObject handles
+        for k in [k for k in _PLANES_BC_CACHE if k[0] != app]:
+            del _PLANES_BC_CACHE[k]
+        bc = spark.sparkContext.broadcast(mat)
+        _PLANES_BC_CACHE[key] = bc
+    return bc
+
+
 def srp_bits_pandas(df: DataFrame, vec_col, planes, out_col: str):
     """Sign bits via an Arrow-batched pandas UDF with the plane matrix shipped
     as an ``sc.broadcast`` — the HIGH-DIM path (dim × n_planes beyond
@@ -129,13 +152,14 @@ def srp_bits_pandas(df: DataFrame, vec_col, planes, out_col: str):
     planning time. Bit-identical to ``srp_bits_expr``: the projection folds
     over dimensions SEQUENTIALLY in float64 (acc += v[d] * p[d], the same
     left-to-right order as F.aggregate), then rounds to 6dp before the sign
-    test (tests/test_similarity.py parity test).
+    test (tests/test_similarity.py parity test). The broadcast is memoized
+    per (session, matrix) — see _planes_broadcast.
     """
     from pyspark.sql.functions import pandas_udf
 
     spark = df.sparkSession
     mat = np.ascontiguousarray(planes, dtype=np.float64)  # (n_planes, dim)
-    bc = spark.sparkContext.broadcast(mat)
+    bc = _planes_broadcast(spark, mat)
 
     @pandas_udf("array<long>")
     def _bits(v: pd.Series) -> pd.Series:
