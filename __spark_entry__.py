@@ -25,8 +25,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dense_retriever_spark.contract3 import QUERIES3
     from dense_retriever_spark.contract4 import QUERIES4
     from dense_retriever_spark.contract5 import QUERIES5
+    from dense_retriever_spark.contract6 import QUERIES6
 
-    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5}
+    return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5,
+            **QUERIES6}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -35,5 +37,7 @@ def oracle_sql() -> dict[str, str]:
     from dense_retriever_spark.contract3 import ORACLES3
     from dense_retriever_spark.contract4 import ORACLES4
     from dense_retriever_spark.contract5 import ORACLES5
+    from dense_retriever_spark.contract6 import ORACLES6
 
-    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5}
+    return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5,
+            **ORACLES6}

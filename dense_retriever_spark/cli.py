@@ -88,6 +88,8 @@ def cmd_search(args) -> None:
         spark, args.index_dir, queries, k=args.top_n,
         exclude_doc_ids=ids(args.exclude_ids),
         include_doc_ids=ids(args.include_ids),
+        query_mode=args.query_mode,
+        eager=not args.lazy,
     )
     res.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"results": args.out, "rows": res.count()}))
@@ -243,6 +245,14 @@ def main(argv=None) -> None:
                    help="parquet (doc_id): tombstone kill-list")
     s.add_argument("--include-ids", default=None,
                    help="parquet (doc_id): allowed set (metadata filter)")
+    s.add_argument("--query-mode", default="auto",
+                   choices=["auto", "broadcast", "distributed"],
+                   help="query-side plan: file sizes are unknown here, so "
+                        "auto probes |Q| and distributes large batches")
+    s.add_argument("--lazy", action="store_true",
+                   help="skip eager executor-side materialization (results "
+                        "are written below either way; lazy defers the per-"
+                        "call broadcast release to GC)")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_search)
 

@@ -4,10 +4,12 @@ Reference analog: ``search_from_prebuilt`` — load index, search, decode ids
 (/root/reference/dense_retriever/transforms/ann_index.py:93-107 and
 /root/reference/dense_retriever/cli/ann_index.py:27-48). The rebuild's plan:
 
-  query set (tiny, driver)            index shards/ (parquet, doc-partitioned)
+  query set                           index shards/ (parquet, doc-partitioned)
       │ tokenize + dedupe terms             │ scan with term-IN pushdown filter
-      │ look up global df (global/)         │   (Catalyst prunes untouched
+      │ look up global df → idf             │   (Catalyst prunes untouched
       │ broadcast {qid→terms},{term→idf}    │    columns + row groups)
+      │   (or: flow as a RELATION —         │
+      │    query_mode='distributed')        │
       └──────────────┐                      │
                      ▼                      ▼
          groupBy(shard).applyInPandas(score all queries per shard)
@@ -15,15 +17,25 @@ Reference analog: ``search_from_prebuilt`` — load index, search, decode ids
                      ▼
          global window top-k (score DESC, doc_id ASC)  →  results
 
-The per-shard scorer sees every query at once (queries are broadcast in the
-closure — they are the small side), so the big index is read EXACTLY once per
-search regardless of |Q|.
+Two query planes, same scorer, bit-identical results (q38 vs q49 oracles):
+
+* ``broadcast`` — the (qid, term) relation is collected and broadcast. Right
+  for interactive/bench batches (a 200-query batch is KBs); the per-shard
+  scorer sees every query at once, so the index is read EXACTLY once per
+  search regardless of |Q|.
+* ``distributed`` — the query relation NEVER touches the driver: query terms
+  join the global stats for df, join the shard-term presence relation, and
+  arrive at each shard's scorer COGROUPED with the shard scan. Driver state
+  is O(1) at any |Q| — this is the plane the refresh loop's full-training-set
+  search (millions of queries, the reference's training.py:75-83 regime)
+  runs on, where a driver-side qmap/idf dict would be the scaling ceiling.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -40,6 +52,22 @@ from dense_retriever_spark.index.wand import (
 from dense_retriever_spark.operators.topk import topk_per_group
 
 RESULT_SCHEMA = "query_id long, doc_id long, score double, rank int"
+
+#: query_mode='auto' switches broadcast → distributed above this many
+#: queries. Sized so the driver-side qmap/idf dict stays a few tens of MB
+#: (~5 terms/query); beyond it the collect itself is the scaling bug.
+QUERY_BROADCAST_LIMIT = 100_000
+
+#: distributed mode prefilters the shard scan by query terms with a
+#: broadcast semi-join only while the distinct-term set is small enough to
+#: broadcast; above this, query terms cover most of the vocabulary anyway
+#: and the filter would not prune (the scorer still skips unasked terms).
+TERM_FILTER_LIMIT = 1_000_000
+
+#: warn when a tombstone list crosses the documented broadcast ceiling —
+#: past this, compaction (build.compact_index / the `compact` CLI) is the
+#: intended operation, not a bigger broadcast.
+TOMBSTONE_WARN_IDS = 10_000_000
 
 
 def load_stats(index_dir: str) -> dict:
@@ -84,6 +112,10 @@ def _score_shard(
     instead of silently falling back to the exact scan (the round-2 2-5×
     regression). Exactness is unaffected either way (blockmax is exact by
     construction).
+
+    Rows whose term no query asked for (``term not in idfs``) are skipped
+    without decoding — distributed query mode may feed the unfiltered shard
+    scan when the query-term set is too large to broadcast-prefilter.
     """
     from dense_retriever_spark.index.codec import block_meta
 
@@ -101,6 +133,8 @@ def _score_shard(
     blocks: dict[str, tuple] = {}
     masked = shard_excl is not None or incl is not None
     for r in pdf.itertuples(index=False):  # one iteration per TERM, not per row
+        if r.term not in idfs:
+            continue
         ids, tfs, dls = decode_postings(r.postings)
         if shard_excl is not None:
             keep = ~np.isin(ids, shard_excl, assume_unique=True)
@@ -153,6 +187,55 @@ def _score_shard(
     )
 
 
+def _collect_excl(exclude_doc_ids: DataFrame | None) -> np.ndarray | None:
+    """Kill-list → sorted driver array (documented ceiling; warn past it)."""
+    if exclude_doc_ids is None:
+        return None
+    excl = np.unique(
+        np.array(
+            [r[0] for r in exclude_doc_ids.select("doc_id").collect()],
+            dtype=np.int64,
+        )
+    )
+    if excl.size > TOMBSTONE_WARN_IDS:
+        warnings.warn(
+            f"tombstone list has {excl.size} ids — past the ~1e7 broadcast "
+            "ceiling this should be a compaction event: run "
+            "build.compact_index (or the `compact` CLI) to drop the "
+            "kill-list physically; pipeline.apply_kill_list automates the "
+            "threshold decision",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return excl
+
+
+def _finish(
+    spark: SparkSession,
+    local: DataFrame,
+    k: int,
+    eager: bool,
+    bcs: list,
+) -> DataFrame:
+    """Global exact top-k + deterministic tie-break; eager → materialize the
+    (≤ k × |Q|)-row result EXECUTOR-SIDE via localCheckpoint (never funnelled
+    through the driver — round-3 ADVICE) and release the per-call broadcasts
+    immediately instead of waiting for caller GC."""
+    out = topk_per_group(local.drop("rank"), "query_id", "score", k)
+    out = out.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("score").cast("double"),
+        F.col("rank").cast("int"),
+    )
+    if not eager:
+        return out
+    out = out.localCheckpoint(eager=True)
+    for bc in bcs:
+        bc.destroy()
+    return out
+
+
 def search(
     spark: SparkSession,
     index_dir: str,
@@ -162,6 +245,7 @@ def search(
     exclude_doc_ids: DataFrame | None = None,
     eager: bool = True,
     include_doc_ids: DataFrame | None = None,
+    query_mode: str = "broadcast",
 ) -> DataFrame:
     """Top-k BM25 search. Output: (query_id, doc_id, score, rank).
 
@@ -169,33 +253,73 @@ def search(
     typically a dedup kill-list (dedup_exact / connected_components output) —
     removed EXACTLY at query time without rebuilding the index; block-max
     pruning stays live (blocks re-derived from the masked postings, see
-    _score_shard). The list is collected and broadcast (fine to ~10^7 ids);
-    a kill-list beyond that is a compaction event: ``compact_index`` /
-    the ``compact`` CLI rebuilds exactly the affected shards.
+    _score_shard). The list is collected and broadcast (fine to ~10^7 ids; a
+    RuntimeWarning fires past that); a kill-list beyond the ceiling is a
+    compaction event: ``compact_index`` / the ``compact`` CLI rebuilds
+    exactly the affected shards, and ``pipeline.apply_kill_list`` automates
+    the tombstone-vs-compact decision.
 
     ``include_doc_ids``: optional (doc_id) DataFrame of ALLOWED docs —
     metadata-filtered search (e.g. ``docs.filter(lang == 'py')``); only these
     ids may appear in results (BM25 statistics stay those of the full index,
     mirroring the tombstone convention). Unlike the kill-list this set can be
-    most of the corpus, so it is NEVER collected: the ids flow as a second
-    Spark relation COGROUPED with the shard scan by shard id — each shard's
-    scorer receives exactly its slice, shards with no allowed docs are
+    most of the corpus, so it is NEVER collected: the ids flow as a Spark
+    relation cogrouped with the shard scan by shard id — each shard's scorer
+    receives exactly its slice, shards with no allowed docs are
     semi-join-pruned from the scan, and driver state stays O(1) at any
     selectivity. Composes with ``exclude_doc_ids``.
 
-    ``eager`` (default): run the search now, RELEASE the per-call
-    (qmap, idfs, excl) broadcast immediately, and return the materialized
-    result (k × |Q| rows — bounded by construction — via createDataFrame).
-    Without this, every search() leaks one driver+executor broadcast until
-    GC (round-2 ADVICE): the refresh loop runs one search per round for the
-    session's lifetime. ``eager=False`` keeps the fully-lazy plan for
-    composition; the caller then owns the broadcast's lifetime (it is
-    released when the returned DataFrame is garbage-collected).
+    ``query_mode``: ``'broadcast'`` (default) collects the (qid, term)
+    relation to the driver and broadcasts it (exactly-once index scan with
+    term-IN parquet pushdown — right for interactive/bench batches, and
+    zero extra jobs on the latency path). ``'distributed'`` keeps the query
+    relation executor-side end-to-end (see module docstring) — driver state
+    is O(1) at any |Q|; this is the plane for training-set-scale query
+    batches. ``'auto'`` probes |Q| with one bounded ``limit().count()`` job
+    and picks broadcast below QUERY_BROADCAST_LIMIT — the right setting when
+    the batch size is unknown (the CLI and the refresh loop use it). Both
+    planes run the same scorer and are bit-identical (pytest + the q38/q49
+    oracle pair).
+
+    ``eager`` (default): run the search now, materialize the bounded
+    (≤ k × |Q|-row) result executor-side (localCheckpoint — never collected
+    to the driver), and release the per-call broadcasts immediately.
+    ``eager=False`` keeps the fully-lazy plan for composition; the caller
+    then owns the broadcast lifetime (released on garbage collection).
     """
+    stats = load_stats(index_dir)
+    if query_mode == "auto":
+        n_q = queries_df.limit(QUERY_BROADCAST_LIMIT + 1).count()
+        query_mode = (
+            "broadcast" if n_q <= QUERY_BROADCAST_LIMIT else "distributed"
+        )
+    if query_mode == "broadcast":
+        return _search_broadcast(
+            spark, index_dir, stats, queries_df, k, use_blockmax,
+            exclude_doc_ids, eager, include_doc_ids,
+        )
+    if query_mode != "distributed":
+        raise ValueError(f"unknown query_mode {query_mode!r}")
+    return _search_distributed(
+        spark, index_dir, stats, queries_df, k, use_blockmax,
+        exclude_doc_ids, eager, include_doc_ids,
+    )
+
+
+def _search_broadcast(
+    spark: SparkSession,
+    index_dir: str,
+    stats: dict,
+    queries_df: DataFrame,
+    k: int,
+    use_blockmax: bool,
+    exclude_doc_ids: DataFrame | None,
+    eager: bool,
+    include_doc_ids: DataFrame | None,
+) -> DataFrame:
     from dense_retriever_spark.operators.bm25 import query_terms
 
     paths = IndexPaths(index_dir)
-    stats = load_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
 
@@ -230,14 +354,7 @@ def search(
     # of task payload at 733 shards × a 100 KB query set), a broadcast ships
     # once per executor and scales to very large query batches.
     dps = stats["docs_per_shard"]
-    excl = None
-    if exclude_doc_ids is not None:
-        excl = np.unique(
-            np.array(
-                [r[0] for r in exclude_doc_ids.select("doc_id").collect()],
-                dtype=np.int64,
-            )
-        )
+    excl = _collect_excl(exclude_doc_ids)
     bc = spark.sparkContext.broadcast((qmap, idfs, excl))
     shard_rows = (
         spark.read.parquet(paths.shards)
@@ -277,16 +394,126 @@ def search(
             .cogroup(incl_flat.groupby("shard"))
             .applyInPandas(_score_co, schema=RESULT_SCHEMA)
         )
-    # 4. global exact top-k with the deterministic tie-break
-    out = topk_per_group(local.drop("rank"), "query_id", "score", k)
-    out = out.select(
-        F.col("query_id").cast("long"),
-        F.col("doc_id").cast("long"),
-        F.col("score").cast("double"),
-        F.col("rank").cast("int"),
+    return _finish(spark, local, k, eager, [bc])
+
+
+def _search_distributed(
+    spark: SparkSession,
+    index_dir: str,
+    stats: dict,
+    queries_df: DataFrame,
+    k: int,
+    use_blockmax: bool,
+    exclude_doc_ids: DataFrame | None,
+    eager: bool,
+    include_doc_ids: DataFrame | None,
+) -> DataFrame:
+    """The O(1)-driver-state query plane. The (qid, term) relation stays a
+    DataFrame end-to-end:
+
+      query_terms ⋈ global stats (df)            [inner join drops OOV terms]
+                  ⋈ shard-term presence          [each shard learns ITS slice]
+      → cogroup with the shard scan by shard id  [scorer rebuilds qmap/idf
+                                                  per shard from its slice]
+
+    idf is computed INSIDE the scorer from the joined df count with the same
+    Python float math as the broadcast plane (wand.idf), so scores are
+    bit-identical — log() in SQL could differ by an ulp between engines.
+
+    The per-shard query slice contains exactly the (query, term) pairs whose
+    term that shard holds — the same effective term set the broadcast scorer
+    uses after its `t in decoded` filter — sorted by term so float
+    accumulation order matches sorted(set(terms)).
+    """
+    paths = IndexPaths(index_dir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+    dps = stats["docs_per_shard"]
+    from dense_retriever_spark.operators.bm25 import query_terms
+
+    qt = query_terms(queries_df)  # (query_id, term) DISTINCT — no collect
+    gstats = spark.read.parquet(paths.global_dir).select("term", "df")
+    # inner join == the broadcast plane's `t in idfs` OOV filter
+    qti = qt.join(gstats, "term").select(
+        "query_id", "term", F.col("df").cast("long").alias("df")
     )
-    if not eager:
-        return out
-    rows = out.collect()  # bounded: ≤ k × |Q| rows by construction
-    bc.destroy()
-    return spark.createDataFrame(rows, RESULT_SCHEMA)
+
+    # shard-term presence (postings column pruned from this scan): routes
+    # each (query, term) pair to exactly the shards holding the term
+    presence = spark.read.parquet(paths.shards).select("shard", "term")
+    q_shard = qti.join(presence, "term").select(
+        "shard", "query_id", "term", "df",
+        F.lit(None).cast("long").alias("doc_id"),
+    )
+
+    shard_rows = spark.read.parquet(paths.shards).select(
+        "shard", "term", "postings", "block_last_doc_id",
+        "block_max_tf", "block_min_dl",
+    )
+    # prefilter the shard scan by query terms while the distinct-term set is
+    # small enough to broadcast; at vocabulary-scale |Q| the filter would
+    # not prune (and the scorer skips unasked terms anyway)
+    n_terms = qt.select("term").distinct().limit(TERM_FILTER_LIMIT + 1).count()
+    if n_terms <= TERM_FILTER_LIMIT:
+        shard_rows = shard_rows.join(
+            F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+        )
+
+    has_include = include_doc_ids is not None
+    if has_include:
+        # allowed ids ride in the SAME right relation (term NULL marks them):
+        # cogroup has one right slot, and a second shuffle per mask would
+        # double the query-side exchange
+        incl_flat = include_doc_ids.select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        ).withColumn("shard", (F.col("doc_id") / dps).cast("long"))
+        q_shard = q_shard.unionByName(
+            incl_flat.select(
+                "shard",
+                F.lit(None).cast("long").alias("query_id"),
+                F.lit(None).cast("string").alias("term"),
+                F.lit(None).cast("long").alias("df"),
+                "doc_id",
+            )
+        )
+        shard_rows = shard_rows.join(
+            incl_flat.select("shard").distinct(), "shard", "left_semi"
+        )
+
+    excl = _collect_excl(exclude_doc_ids)
+    bcs = []
+    bc_excl = None
+    if excl is not None:
+        bc_excl = spark.sparkContext.broadcast(excl)
+        bcs.append(bc_excl)
+
+    def _score_dist(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        x = bc_excl.value if bc_excl is not None else None
+        qpart = right[right["term"].notna()]
+        # sorted-term accumulation order == broadcast plane's sorted(set())
+        qpart = qpart.sort_values(["query_id", "term"], kind="mergesort")
+        qmap: dict[int, list[str]] = {}
+        idfs: dict[str, float] = {}
+        for qid, t, df_ in zip(
+            qpart["query_id"].to_numpy(np.int64),
+            qpart["term"],
+            qpart["df"].to_numpy(np.int64),
+        ):
+            qmap.setdefault(int(qid), []).append(t)
+            if t not in idfs:
+                idfs[t] = idf_fn(float(df_), float(n_docs))
+        incl = None
+        if has_include:
+            incl = np.unique(
+                right.loc[right["term"].isna(), "doc_id"].to_numpy(np.int64)
+            )
+        return _score_shard(
+            left, qmap, idfs, k, k1, b, avgdl, dps, use_blockmax, x, incl
+        )
+
+    local = (
+        shard_rows.groupby("shard")
+        .cogroup(q_shard.groupby("shard"))
+        .applyInPandas(_score_dist, schema=RESULT_SCHEMA)
+    )
+    return _finish(spark, local, k, eager, bcs)

@@ -130,8 +130,13 @@ def refresh_rounds(
             build_tag=f"round{rnd}",
         )
 
+        # query_mode='auto': the refresh loop searches the FULL query-sample
+        # set each round (the reference's training.py:75-83 regime) — at
+        # training-data scale that is millions of queries, which must flow
+        # as a relation (distributed plane), not a driver-side broadcast
         results = search(
-            spark, index_dir, samples.selectExpr("query_id", "query"), k=k
+            spark, index_dir, samples.selectExpr("query_id", "query"), k=k,
+            query_mode="auto",
         )
         ranked = results_as_ranked_lists(results, id_to_str=False)
         mined = mine_hard_negatives(samples, ranked, seed=rnd)
