@@ -219,6 +219,9 @@ def cmd_refresh(args) -> None:
         spark, batches, queries, qrels, args.workdir,
         k=args.top_n, docs_per_shard=args.docs_per_shard,
         dedup_exact=args.dedup_exact,
+        dedup_near=args.dedup_near,
+        compact_fraction=args.compact_fraction,
+        compact_min_ids=args.compact_min_ids,
     )
     print(json.dumps({"workdir": args.workdir, "rounds": rounds}))
 
@@ -315,6 +318,15 @@ def main(argv=None) -> None:
     rf.add_argument("--top-n", type=int, default=10)
     rf.add_argument("--docs-per-shard", type=int, default=1 << 14)
     rf.add_argument("--dedup-exact", action="store_true")
+    rf.add_argument("--dedup-near", action="store_true",
+                    help="per-round near-dup kill-list + tombstone-vs-"
+                         "compaction policy (pipeline.apply_kill_list)")
+    rf.add_argument("--compact-fraction", type=float, default=0.1,
+                    help="compact when the kill-list exceeds this fraction "
+                         "of the corpus")
+    rf.add_argument("--compact-min-ids", type=int, default=10_000_000,
+                    help="compact when the kill-list exceeds this absolute "
+                         "size (the tombstone broadcast ceiling)")
     rf.set_defaults(fn=cmd_refresh)
 
     args = p.parse_args(argv)

@@ -208,44 +208,35 @@ SELECT query_vec_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
 """
 
 # ---------------------------------------------------------------------------
-# q16 — LSH-bucketed ANN top-k
+# q16 — LSH ANN top-k via SEEDED-hyperplane SRP (round 4: the original
+# first-4-dims sign-bucket operator is retired — not LSH in any
+# recall-bearing sense, round-3 verdict. q16 now exercises srp_ann_topk in a
+# second configuration (32 planes × 8 bands, seed 11) distinct from
+# q31/q44's 64×16 seed-7, so the oracle covers the band-key construction at
+# two geometries. lsh_bucketed_topk remains only as a DeprecationWarning
+# shim pointing here.)
 # ---------------------------------------------------------------------------
 
+_Q16_PLANES, _Q16_BANDS, _Q16_SEED = 32, 8, 11
+
+
 def q16_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dense_retriever_spark.operators.similarity import lsh_bucketed_topk
+    from dense_retriever_spark.operators.similarity import srp_ann_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
     )
-    return lsh_bucketed_topk(emb, qv, k=3, n_bits=4)
+    return srp_ann_topk(
+        emb, qv, k=3, dim=64, n_planes=_Q16_PLANES, bands=_Q16_BANDS,
+        seed=_Q16_SEED,
+    )
 
 
-Q16_SQL = f"""
-WITH b AS (
-  SELECT vec_id, embedding,
-         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
-        + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
-        + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
-        + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
-  FROM embeddings
-),
-q AS (
-  SELECT vec_id AS query_vec_id, embedding AS qvec, bucket FROM b WHERE vec_id < 5
-),
-s AS (
-  SELECT q.query_vec_id, e.vec_id,
-         {_COS_SQL.format(a='q.qvec', b='e.embedding')} AS cosine
-  FROM b e JOIN q USING (bucket) WHERE q.query_vec_id <> e.vec_id
-),
-r AS (
-  SELECT query_vec_id, vec_id, cosine,
-         row_number() OVER (PARTITION BY query_vec_id
-                            ORDER BY cosine DESC, vec_id ASC) AS rank
-  FROM s
-)
-SELECT query_vec_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= 3
-"""
+def _q16_sql() -> str:
+    from dense_retriever_spark.contract4 import srp_ann_oracle_sql
+
+    return srp_ann_oracle_sql(64, _Q16_PLANES, _Q16_BANDS, _Q16_SEED, 3)
 
 # ---------------------------------------------------------------------------
 # q17 — language-ID heuristic
@@ -650,7 +641,7 @@ ORACLES2: dict[str, str] = {
     "q13_minhash": Q13_SQL,
     "q14_simhash": Q14_SQL,
     "q15_cosine_topk": Q15_SQL,
-    "q16_lsh_ann": Q16_SQL,
+    "q16_lsh_ann": _q16_sql(),
     "q17_langid": Q17_SQL,
     "q18_quality": Q18_SQL,
     "q19_token_counts": Q19_SQL,

@@ -156,16 +156,22 @@ def _srp_key_expr_sql(planes, bands: int, vec: str, b: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _q31_sql() -> str:
+def srp_ann_oracle_sql(
+    dim: int, n_planes: int, bands: int, seed: int, k: int
+) -> str:
+    """DuckDB twin of ``srp_ann_topk`` for ANY (dim, n_planes, bands, seed,
+    k) configuration — shared by q31/q44 (64×16, seed 7) and q16 (32×8,
+    seed 11, the seeded-plane replacement for the retired first-n-dims
+    bucket operator)."""
     from dense_retriever_spark.operators.similarity import srp_planes
 
-    planes = srp_planes(_SRP_DIM, _SRP_PLANES, _SRP_SEED)
+    planes = srp_planes(dim, n_planes, seed)
 
     def banded(src: str, idc: str, vec: str, alias: str) -> str:
         sel = " UNION ALL ".join(
             f"SELECT {idc}, {vec} AS v, {b} AS band_id, "
-            f"{_srp_key_expr_sql(planes, _SRP_BANDS, vec, b)} AS band_key FROM {src}"
-            for b in range(_SRP_BANDS)
+            f"{_srp_key_expr_sql(planes, bands, vec, b)} AS band_key FROM {src}"
+            for b in range(bands)
         )
         return f"{alias} AS ({sel})"
 
@@ -194,8 +200,14 @@ r AS (
                             ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM s
 )
-SELECT query_vec_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= {_SRP_K}
+SELECT query_vec_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= {k}
 """
+
+
+def _q31_sql() -> str:
+    return srp_ann_oracle_sql(
+        _SRP_DIM, _SRP_PLANES, _SRP_BANDS, _SRP_SEED, _SRP_K
+    )
 
 
 # ---------------------------------------------------------------------------

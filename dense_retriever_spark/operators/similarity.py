@@ -485,9 +485,24 @@ def lsh_bucketed_topk(
     qid_col: str = "query_vec_id",
     qvec_col: str = "qvec",
 ) -> DataFrame:
-    """ANN top-k within the query's SRP bucket: (query_vec_id, vec_id, cosine,
-    rank). Equi-join on bucket replaces the cross join — candidate set is
-    ~N/2^n_bits per query."""
+    """DEPRECATED — use ``srp_ann_topk`` (seeded hyperplanes, multi-band OR,
+    quantified recall). This round-1 placeholder buckets on the SIGNS OF THE
+    FIRST ``n_bits`` DIMENSIONS: not LSH in any recall-bearing sense — on
+    non-centered embeddings the buckets are skewed and there is no recall
+    guarantee (round-3 verdict). Kept only so existing callers get a loud
+    pointer instead of a break; the q16 oracle now exercises srp_ann_topk.
+
+    ANN top-k within the query's bucket: (query_vec_id, vec_id, cosine,
+    rank). Equi-join on bucket replaces the cross join."""
+    import warnings
+
+    warnings.warn(
+        "lsh_bucketed_topk buckets on the first n_bits dimension signs and "
+        "has no recall guarantee; use srp_ann_topk (seeded-hyperplane SRP "
+        "LSH) instead",
+        DeprecationWarning,
+        stacklevel=2,
+    )
     e = embeddings.withColumn("bucket", srp_bucket_expr(F.col(vec_col), n_bits))
     q = F.broadcast(
         queries.withColumn("bucket", srp_bucket_expr(F.col(qvec_col), n_bits))
