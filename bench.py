@@ -142,6 +142,20 @@ def main() -> None:
         timings["q_search_filtered"] / 100 * 1000, 2
     )
 
+    # distributed query plane: a 5k-query batch flowing as a RELATION
+    # (query terms ⋈ global stats ⋈ shard presence, cogrouped with the shard
+    # scan — O(1) driver state at any |Q|): the training-set-scale path
+    big_q = synth_queries(spark, 5000).cache()
+    big_q.count()
+    timed("q_search_bigbatch_dist", lambda: search(
+        spark, idx_dir, big_q, k=10, use_blockmax=True,
+        query_mode="distributed",
+    ).count())
+    extra["bigbatch_queries_per_sec"] = round(
+        5000 / timings["q_search_bigbatch_dist"], 1
+    )
+    big_q.unpersist()
+
     timed("q_bm25_exact", lambda: q01_bm25_topk(spark, sf_dir).count())
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -379,7 +379,10 @@ def q36_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapse_exact=True,
         max_bucket=_SH_CAP,
     )
-    return connected_components(pairs)
+    # label_prop pinned explicitly: the library default is now the star
+    # contraction (q42 covers it against the same oracle) — q36 keeps the
+    # label-propagation algorithm under the hash gate
+    return connected_components(pairs, algorithm="label_prop")
 
 
 Q36_SQL = f"""

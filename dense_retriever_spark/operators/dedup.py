@@ -275,7 +275,7 @@ def connected_components(
     pairs: DataFrame,
     max_iter: int = 50,
     checkpoint_every: int = 5,
-    algorithm: str = "label_prop",
+    algorithm: str = "star",
     checkpoint_dir: str | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -288,16 +288,17 @@ def connected_components(
 
     Two algorithms (identical output, parity-tested):
 
-    - ``label_prop`` (default): each round every node takes the min label
+    - ``star`` (default): the Kiveris et al. large-star/small-star
+      contraction — O(log n) rounds even on adversarial long-chain graphs,
+      the construction that is safe at any graph shape, hence the default
+      (round-3 verdict ask).
+    - ``label_prop``: each round every node takes the min label
       among itself and its neighbors — one shuffle (join + groupBy-min) per
-      round, converging in graph-DIAMETER rounds. Dedup graphs are
-      overwhelmingly star/clique-shaped (duplicates of one template), so the
-      diameter is tiny and this is the cheaper plan.
-    - ``star``: the Kiveris et al. large-star/small-star contraction —
-      alternating rounds rewire every node toward its neighborhood minimum,
-      converging in O(log n) rounds even on adversarial long-CHAIN graphs
-      where label_prop needs diameter rounds (tests assert ≤ ~log2(n)+c
-      rounds on a 10k-node path).
+      round, converging in graph-DIAMETER rounds. Dedup graphs are often
+      star/clique-shaped (duplicates of one template) where the diameter is
+      ≈2 — the cheaper plan when the shape is known benign; a long chain
+      makes it pathological (tests assert ≤ ~log2(n)+c star rounds vs
+      diameter label_prop rounds on a 10k-node path).
 
     ``checkpoint_dir``: use reliable ``checkpoint()`` instead of
     ``localCheckpoint`` (see _checkpointer) — required for executor-loss
