@@ -431,7 +431,11 @@ def _search_distributed(
     dps = stats["docs_per_shard"]
     from dense_retriever_spark.operators.bm25 import query_terms
 
-    qt = query_terms(queries_df)  # (query_id, term) DISTINCT — no collect
+    # (query_id, term) DISTINCT — never collected. Materialized executor-side
+    # ONCE (localCheckpoint): the relation feeds three separate jobs (the
+    # term-count probe, the stats join, the scan prefilter), and without the
+    # checkpoint each would re-run the tokenizer over the full query set.
+    qt = query_terms(queries_df).localCheckpoint(eager=True)
     gstats = spark.read.parquet(paths.global_dir).select("term", "df")
     # inner join == the broadcast plane's `t in idfs` OOV filter
     qti = qt.join(gstats, "term").select(
