@@ -203,6 +203,37 @@ def cmd_compact(args) -> None:
     print(json.dumps({"index": paths.root, "stats": load_stats(paths.root)}))
 
 
+def cmd_build_ann_index(args) -> None:
+    spark = _spark(args)
+    from dense_retriever_spark.index.ann import build_ann_index, load_ann_meta
+
+    emb = spark.read.parquet(args.embeddings)
+    paths = build_ann_index(
+        emb, args.index_dir, n_centroids=args.n_centroids,
+        quantizer=args.quantizer, id_col=args.id_col, vec_col=args.vec_col,
+        seed=args.seed,
+    )
+    print(json.dumps({"index": paths.root, "meta": load_ann_meta(paths.root)}))
+
+
+def cmd_ann_search(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.index.ann import search_ann_index
+
+    queries = spark.read.parquet(args.queries).select(
+        F.col(args.id_col).alias("query_vec_id"),
+        F.col(args.vec_col).alias("qvec"),
+    )
+    res = search_ann_index(
+        spark, args.index_dir, queries, k=args.top_n, nprobe=args.nprobe,
+        exclude_self=not args.keep_self,
+    )
+    res.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"results": args.out, "rows": res.count()}))
+
+
 def cmd_refresh(args) -> None:
     spark = _spark(args)
     from dense_retriever_spark.pipeline import refresh_rounds
@@ -308,6 +339,31 @@ def main(argv=None) -> None:
                     help="parquet with the tombstoned doc ids")
     cp.add_argument("--kill-col", default="doc_id")
     cp.set_defaults(fn=cmd_compact)
+
+    ba = sub.add_parser("build-ann-index")
+    ba.add_argument("--embeddings", required=True,
+                    help="parquet with (id, embedding) rows")
+    ba.add_argument("--index-dir", required=True)
+    ba.add_argument("--n-centroids", type=int, default=256)
+    ba.add_argument("--quantizer", default="hash",
+                    choices=["hash", "kmeans"])
+    ba.add_argument("--id-col", default="vec_id")
+    ba.add_argument("--vec-col", default="embedding")
+    ba.add_argument("--seed", type=int, default=7)
+    ba.set_defaults(fn=cmd_build_ann_index)
+
+    an = sub.add_parser("ann-search")
+    an.add_argument("--index-dir", required=True)
+    an.add_argument("--queries", required=True,
+                    help="parquet with (id, embedding) query rows")
+    an.add_argument("--top-n", type=int, default=10)
+    an.add_argument("--nprobe", type=int, default=8)
+    an.add_argument("--id-col", default="vec_id")
+    an.add_argument("--vec-col", default="embedding")
+    an.add_argument("--keep-self", action="store_true",
+                    help="keep hits where vec_id == query id")
+    an.add_argument("--out", required=True)
+    an.set_defaults(fn=cmd_ann_search)
 
     rf = sub.add_parser("refresh")
     rf.add_argument("--corpus-batches", required=True,

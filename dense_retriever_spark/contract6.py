@@ -32,15 +32,71 @@ def q49_distributed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(raw)
 
 
+# ---------------------------------------------------------------------------
+# q50 — PERSISTED IVF ANN index (index/ann.py): build the on-disk artifact
+# (fixed-K hash quantizer, cells partitioned by centroid_id), search it
+# prebuilt, hash-match the SAME oracle as the inline operator (Q37_SQL) —
+# proving the artifact round-trips the exact IVF construction. This is the
+# reference's build-FAISS-then-search_from_prebuilt workflow
+# (transforms/ann_index.py:87-98, cli/ann_index.py:27-48) for the dense
+# column, alongside the BM25 index's q38.
+# ---------------------------------------------------------------------------
+
+_Q50_IDX_CACHE: dict[str, str] = {}
+
+
+def _q50_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from dense_retriever_spark.contract import _read
+    from dense_retriever_spark.index.ann import build_ann_index
+
+    if sf_dir in _Q50_IDX_CACHE:
+        return _Q50_IDX_CACHE[sf_dir]
+    from dense_retriever_spark.contract4 import _IVF_K
+
+    root = tempfile.mkdtemp(prefix="q50_ann_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    idx = root + "/ann_index"
+    build_ann_index(
+        _read(spark, sf_dir, "embeddings"), idx,
+        n_centroids=_IVF_K, quantizer="hash",
+    )
+    _Q50_IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q50_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.contract import _read
+    from dense_retriever_spark.contract4 import _IVF_NPROBE, _SRP_K
+    from dense_retriever_spark.index.ann import search_ann_index
+
+    idx = _q50_index_dir(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
+    )
+    return search_ann_index(spark, idx, qv, k=_SRP_K, nprobe=_IVF_NPROBE)
+
+
 QUERIES6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_distributed_search": q49_distributed_search,
+    "q50_ann_index_search": q50_ann_index_search,
 }
 
 
 def _oracles6() -> dict[str, str]:
     from dense_retriever_spark.contract import Q01_SQL
+    from dense_retriever_spark.contract4 import Q37_SQL
 
-    return {"q49_distributed_search": Q01_SQL}
+    return {
+        "q49_distributed_search": Q01_SQL,
+        "q50_ann_index_search": Q37_SQL,
+    }
 
 
 ORACLES6: dict[str, str] = _oracles6()

@@ -1,0 +1,85 @@
+"""Persisted IVF ANN index (index/ann.py): build → search-prebuilt must be
+bit-identical to the inline operator, with probed-cell PARTITION pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dense_retriever_spark.index.ann import (
+    build_ann_index,
+    load_ann_meta,
+    search_ann_index,
+)
+from dense_retriever_spark.operators.similarity import ivf_ann_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+K, NC, NPROBE = 3, 16, 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def ann_dir(spark, emb, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ann") / "ann_index")
+    build_ann_index(emb, d, n_centroids=NC, quantizer="hash")
+    return d
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("embedding").alias("qvec"),
+    )
+
+
+def test_prebuilt_equals_inline(spark, emb, ann_dir):
+    want = sorted(
+        map(tuple, ivf_ann_topk(
+            emb, _queries(emb), k=K, n_centroids=NC, nprobe=NPROBE
+        ).collect())
+    )
+    got = sorted(
+        map(tuple, search_ann_index(
+            spark, ann_dir, _queries(emb), k=K, nprobe=NPROBE
+        ).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_partition_pruning(spark, emb, ann_dir):
+    from dense_retriever_spark.plans import formatted_plan
+
+    df = search_ann_index(spark, ann_dir, _queries(emb), k=K, nprobe=NPROBE)
+    plan = formatted_plan(df)
+    # the probed-cell filter must reach the cells scan as a PARTITION filter
+    # (file-level pruning), not a post-scan row filter
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("cells") :]
+    assert "centroid_id" in seg.split("PushedFilters")[0]
+
+
+def test_meta_guard(spark, emb, tmp_path):
+    d = str(tmp_path / "ann_bad")
+    build_ann_index(emb, d, n_centroids=4)
+    meta = load_ann_meta(d, spark)
+    assert meta["n_centroids"] == 4 and meta["quantizer"] == "hash"
+    from dense_retriever_spark.index import fs
+
+    fs.write_text(d + "/ann_meta.json", '{"format_version": 99}', spark)
+    with pytest.raises(ValueError, match="format v99"):
+        search_ann_index(spark, d, _queries(emb))
+
+
+def test_kmeans_quantizer_roundtrip(spark, emb, tmp_path):
+    d = str(tmp_path / "ann_km")
+    build_ann_index(emb, d, n_centroids=8, quantizer="kmeans", seed=5)
+    got = search_ann_index(spark, d, _queries(emb), k=K, nprobe=4).collect()
+    assert len(got) > 0
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_vec_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
