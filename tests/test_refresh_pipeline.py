@@ -197,3 +197,36 @@ def test_refresh_near_dup_auto_compaction(spark, tmp_path):
     res = search(spark, f"{workdir}/index", synth_queries(spark, 6), k=5)
     got = {r["doc_id"] for r in res.collect()}
     assert all(d < 120 or d >= 240 for d in got)
+
+
+def test_refresh_uses_distributed_plane_for_large_query_sets(
+    spark, tmp_path, monkeypatch
+):
+    """The refresh loop passes query_mode='auto'; when the query-sample set
+    crosses QUERY_BROADCAST_LIMIT the search must run on the distributed
+    plane (O(1) driver state) and still produce sane metrics."""
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.corpus import synth_corpus, synth_queries
+    from dense_retriever_spark.index import search as search_mod
+    from dense_retriever_spark.pipeline import refresh_rounds
+
+    monkeypatch.setattr(search_mod, "QUERY_BROADCAST_LIMIT", 1)
+    calls = []
+    orig = search_mod._search_distributed
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(search_mod, "_search_distributed", spy)
+
+    workdir = str(tmp_path / "refresh_dist")
+    queries = synth_queries(spark, 8).selectExpr("query_id as qid", "query as text")
+    qrels = queries.select("qid", (F.col("qid") * 7 % 100).alias("doc_id"))
+    rounds = refresh_rounds(
+        spark, [synth_corpus(spark, 100, seed=21)], queries, qrels, workdir,
+        k=5, docs_per_shard=64,
+    )
+    assert calls, "auto mode did not route through the distributed plane"
+    assert 0.0 <= rounds[0]["mrr@5"] <= 1.0
