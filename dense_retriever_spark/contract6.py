@@ -83,9 +83,59 @@ def q50_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ann_index(spark, idx, qv, k=_SRP_K, nprobe=_IVF_NPROBE)
 
 
+# ---------------------------------------------------------------------------
+# q51 — stratified weighted sampling (the training-MIX constructor): per-lang
+# quotas over the same seeded Efraimidis–Spirakis keys as q47, ranked by a
+# partitioned window (WindowGroupLimit — no global sort). The oracle
+# recomputes keys AND the per-group quota CASE bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q51_SEED, _Q51_DEFAULT, _Q51_EN = 42, 20, 30
+
+
+def q51_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.contract import _docs
+    from dense_retriever_spark.operators.negatives import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    out = stratified_sample(
+        docs, "lang", _Q51_DEFAULT, "n_chars", seed=_Q51_SEED,
+        key_cols=["doc_id"], quotas={"en": _Q51_EN},
+    )
+    return out.select(
+        "doc_id", "lang", "n_chars", F.col("_es_key").alias("es_key")
+    )
+
+
+Q51_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         CAST('0x' || substr(md5('ws{_Q51_SEED}' || chr(31) || doc_id::VARCHAR),
+                             1, 15) AS BIGINT) AS hh
+  FROM documents
+),
+k AS (
+  SELECT doc_id, lang, n_chars, hh,
+         round(pow((hh + 1)::DOUBLE / {float(1 << 60)!r},
+                   1.0 / greatest(n_chars::DOUBLE, 1e-12)), 9) AS es_key
+  FROM h
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY es_key DESC, hh ASC) AS rn
+  FROM k
+)
+SELECT doc_id, lang, n_chars, es_key FROM r
+WHERE rn <= CASE WHEN lang = 'en' THEN {_Q51_EN} ELSE {_Q51_DEFAULT} END
+"""
+
+
 QUERIES6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_distributed_search": q49_distributed_search,
     "q50_ann_index_search": q50_ann_index_search,
+    "q51_stratified_sample": q51_stratified_sample,
 }
 
 
@@ -96,6 +146,7 @@ def _oracles6() -> dict[str, str]:
     return {
         "q49_distributed_search": Q01_SQL,
         "q50_ann_index_search": Q37_SQL,
+        "q51_stratified_sample": Q51_SQL,
     }
 
 

@@ -130,6 +130,19 @@ def weighted_sample(
     partition + driver merge, never a global sort.
     """
     cols = key_cols or df.columns
+    key, h = _es_key(weight_col, seed, cols)
+    return (
+        df.withColumn("_es_key", key)
+        .withColumn("_es_h", h)
+        .orderBy(F.desc("_es_key"), F.asc("_es_h"))
+        .limit(n)
+    )
+
+
+def _es_key(weight_col: str, seed: int, cols: list[str]):
+    """(rounded ES key, tie-break hash) column pair shared by the global and
+    stratified samplers — identical construction, so the two are consistent
+    and both DuckDB-reproducible."""
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws("\x1f", F.lit(f"ws{seed}"), *cols)), 1, 15
@@ -140,10 +153,51 @@ def weighted_sample(
     # u in (0, 1]: (h + 1) / 2^60 over the 60-bit hash domain
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
     w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
-    key = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    return F.round(F.pow(u, F.lit(1.0) / w), 9), h
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    weight_col: str,
+    seed: int = 42,
+    key_cols: list[str] | None = None,
+    quotas: dict | None = None,
+) -> DataFrame:
+    """Seeded per-group weighted sampling without replacement — the
+    TRAINING-MIX constructor: "take 200k docs per language, weighted by
+    quality" in one distributed pass. Same Efraimidis–Spirakis keys as
+    ``weighted_sample`` (md5-derived, rounded 9dp before ranking, hash
+    tie-break — pure function of the data, DuckDB-reproducible: q51), ranked
+    WITHIN each ``group_col`` value by a partitioned window, so there is no
+    global sort and no driver state: one shuffle on the group key, and
+    Spark's WindowGroupLimit keeps only ``max(quota)`` rows per partition
+    before the final filter.
+
+    ``quotas``: optional per-group override {group_value: n}; groups absent
+    from the dict use ``n_per_group``. The quota map is a plan literal —
+    training mixes have dozens of groups (languages/sources), not millions.
+    """
+    from pyspark.sql import Window
+
+    cols = key_cols or [c for c in df.columns if c != group_col]
+    key, h = _es_key(weight_col, seed, cols)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("_es_key"), F.asc("_es_h")
+    )
+    quota = F.lit(int(n_per_group))
+    if quotas:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in quotas.items() for x in kv]
+        )
+        quota = F.coalesce(
+            mapping.getItem(F.col(group_col)).cast("int"), quota
+        )
     return (
         df.withColumn("_es_key", key)
         .withColumn("_es_h", h)
-        .orderBy(F.desc("_es_key"), F.asc("_es_h"))
-        .limit(n)
+        .withColumn("_es_rank", F.row_number().over(w))
+        .filter(F.col("_es_rank") <= quota)
+        .drop("_es_rank")
     )

@@ -218,3 +218,43 @@ def test_scrub_redaction_and_repetition(spark):
     assert out[2]["c"]["email"] == 0
     assert abs(out[3]["rep"] - 0.5) < 1e-9  # 4 lines, 2 distinct
     assert out[4]["rep"] == 0.0  # empty doc: no lines, defined as 0
+
+
+def test_stratified_sample_quotas(spark):
+    """Per-group quotas + determinism under repartitioning (training-mix
+    constructor, q51)."""
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.operators.negatives import stratified_sample
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("grp"),
+        (F.pmod(F.col("id") * 7, F.lit(50)) + 1).alias("wt"),
+    )
+    out = stratified_sample(
+        df, "grp", 10, "wt", seed=3, key_cols=["doc_id"], quotas={"b": 25}
+    )
+    counts = {
+        r["grp"]: r["n"]
+        for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"a": 10, "b": 25, "c": 10}
+    # a group smaller than its quota returns all its rows
+    tiny = stratified_sample(
+        df.filter(F.col("doc_id") < 4), "grp", 10, "wt", key_cols=["doc_id"]
+    )
+    assert tiny.count() == 4
+    # pure function of the data: stable under repartitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(13), "grp", 10, "wt", seed=3,
+            key_cols=["doc_id"], quotas={"b": 25},
+        ).collect()
+    )
+    assert a == b
