@@ -132,10 +132,33 @@ WHERE rn <= CASE WHEN lang = 'en' THEN {_Q51_EN} ELSE {_Q51_DEFAULT} END
 """
 
 
+# ---------------------------------------------------------------------------
+# q52 — column profiling (the Deequ/TFDV-family data-quality summary): one
+# unpivot + one aggregation shuffle for all profiled columns; exact counts,
+# exact distincts, exact interpolated quartiles, hash-gated cross-engine.
+# ---------------------------------------------------------------------------
+
+_Q52_COLS = ["doc_id", "n_chars"]
+
+
+def q52_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract import _docs
+    from dense_retriever_spark.operators.profile import profile_numeric
+
+    return profile_numeric(_docs(spark, sf_dir), _Q52_COLS)
+
+
+def _q52_sql() -> str:
+    from dense_retriever_spark.operators.profile import profile_sql
+
+    return profile_sql("documents", _Q52_COLS)
+
+
 QUERIES6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_distributed_search": q49_distributed_search,
     "q50_ann_index_search": q50_ann_index_search,
     "q51_stratified_sample": q51_stratified_sample,
+    "q52_profile": q52_profile,
 }
 
 
@@ -147,6 +170,7 @@ def _oracles6() -> dict[str, str]:
         "q49_distributed_search": Q01_SQL,
         "q50_ann_index_search": Q37_SQL,
         "q51_stratified_sample": Q51_SQL,
+        "q52_profile": _q52_sql(),
     }
 
 

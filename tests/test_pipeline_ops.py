@@ -258,3 +258,23 @@ def test_stratified_sample_quotas(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_profile_numeric_nulls_and_quartiles(spark):
+    from dense_retriever_spark.operators.profile import profile_numeric
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, None), (5, 40.0)],
+        "a long, b double",
+    )
+    rows = {r["col_name"]: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a["n"], a["n_null"], a["n_distinct"]) == (5, 0, 5)
+    assert (a["min_value"], a["max_value"], a["p50"]) == (1.0, 5.0, 3.0)
+    assert (b["n"], b["n_null"], b["n_distinct"]) == (5, 1, 4)
+    # quartiles over non-null {10,20,30,40}: linear interpolation
+    assert (b["p25"], b["p50"], b["p75"]) == (17.5, 25.0, 32.5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_numeric(df, [])
