@@ -154,11 +154,56 @@ def _q52_sql() -> str:
     return profile_sql("documents", _Q52_COLS)
 
 
+# ---------------------------------------------------------------------------
+# q53 — as-of join (operators/asof.py): every 'view' event matched to the
+# SAME user's latest click at-or-before it. The Spark side is the
+# union-and-carry-forward window construction (one shuffle on user_id); the
+# oracle uses DuckDB's NATIVE ASOF LEFT JOIN — two utterly different
+# algorithms, one hash.
+# ---------------------------------------------------------------------------
+
+def q53_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.contract import _read
+    from dense_retriever_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(views, clicks, on="ts", by=["user_id"], value_cols=["value"])
+    # NTZ → timestamp cast before unix_micros (session TZ is UTC, so the
+    # epoch equals DuckDB's epoch_us over the same NTZ parquet — q40 rule)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "event_id",
+        us("ts").alias("ts_us"),
+        "user_id",
+        "value",
+        us("asof_ts").alias("asof_ts_us"),
+        F.col("asof_value"),
+    )
+
+
+Q53_SQL = """
+SELECT l.event_id, epoch_us(l.ts) AS ts_us, l.user_id, l.value,
+       epoch_us(r.ts) AS asof_ts_us, r.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'view') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 QUERIES6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_distributed_search": q49_distributed_search,
     "q50_ann_index_search": q50_ann_index_search,
     "q51_stratified_sample": q51_stratified_sample,
     "q52_profile": q52_profile,
+    "q53_asof_join": q53_asof_join,
 }
 
 
@@ -171,6 +216,7 @@ def _oracles6() -> dict[str, str]:
         "q50_ann_index_search": Q37_SQL,
         "q51_stratified_sample": Q51_SQL,
         "q52_profile": _q52_sql(),
+        "q53_asof_join": Q53_SQL,
     }
 
 

@@ -278,3 +278,30 @@ def test_profile_numeric_nulls_and_quartiles(spark):
 
     with _pytest.raises(ValueError):
         profile_numeric(df, [])
+
+
+def test_asof_join_semantics(spark):
+    """asof_join: latest right row at-or-before each left row per key;
+    nulls when nothing precedes; equal timestamps match (l.on >= r.on)."""
+    from dense_retriever_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "u"), (2, 20, "u"), (3, 5, "v"), (4, 30, "w")],
+        "id long, ts long, user string",
+    )
+    right = spark.createDataFrame(
+        [(10, "u", 1.0), (15, "u", 2.0), (20, "u", 3.0), (9, "v", 9.0)],
+        "ts long, user string, price double",
+    )
+    got = {
+        r["id"]: (r["asof_ts"], r["asof_price"])
+        for r in asof_join(
+            left, right, on="ts", by=["user"], value_cols=["price"]
+        ).collect()
+    }
+    assert got[1] == (10, 1.0)   # equal ts matches
+    assert got[2] == (20, 3.0)   # latest at-or-before, not just any prior
+    assert got[3] == (None, None)  # right row is AFTER the left row
+    assert got[4] == (None, None)  # key with no right rows at all
+    # left row count preserved exactly (left join semantics)
+    assert len(got) == 4
