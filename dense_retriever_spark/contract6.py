@@ -198,12 +198,59 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
 """
 
 
+# ---------------------------------------------------------------------------
+# q54 — range join (operators/rangejoin.py): every 'click' matched to every
+# 'purchase' by the same user within the 4 hours before it. Spark side = the
+# binned equi-join construction (inequality → equi-join on (user, bin) +
+# exact filter); oracle = a plain BETWEEN join. Exact at any bin width.
+# ---------------------------------------------------------------------------
+
+_Q54_WINDOW_US = 4 * 3600 * 1_000_000  # 4 hours
+_Q54_BIN_US = 3600 * 1_000_000  # 1-hour bins: each interval explodes to ~5 bins
+
+
+def q54_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.contract import _read
+    from dense_retriever_spark.operators.rangejoin import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", us.alias("click_us")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        "user_id",
+        (us - F.lit(_Q54_WINDOW_US)).alias("win_start_us"),
+        us.alias("win_end_us"),
+    )
+    out = range_join(
+        clicks, buys, "click_us", "win_start_us", "win_end_us",
+        by=["user_id"], bin_width=_Q54_BIN_US,
+    )
+    return out.select("click_id", "buy_id", "user_id", "click_us", "win_end_us")
+
+
+Q54_SQL = f"""
+SELECT p.event_id AS click_id, i.event_id AS buy_id, p.user_id,
+       epoch_us(p.ts) AS click_us, epoch_us(i.ts) AS win_end_us
+FROM (SELECT * FROM events WHERE event_type = 'click') p
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') i
+  ON p.user_id = i.user_id
+ AND epoch_us(p.ts) BETWEEN epoch_us(i.ts) - {_Q54_WINDOW_US}
+                        AND epoch_us(i.ts)
+"""
+
+
 QUERIES6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_distributed_search": q49_distributed_search,
     "q50_ann_index_search": q50_ann_index_search,
     "q51_stratified_sample": q51_stratified_sample,
     "q52_profile": q52_profile,
     "q53_asof_join": q53_asof_join,
+    "q54_range_join": q54_range_join,
 }
 
 
@@ -217,6 +264,7 @@ def _oracles6() -> dict[str, str]:
         "q51_stratified_sample": Q51_SQL,
         "q52_profile": _q52_sql(),
         "q53_asof_join": Q53_SQL,
+        "q54_range_join": Q54_SQL,
     }
 
 

@@ -305,3 +305,40 @@ def test_asof_join_semantics(spark):
     assert got[4] == (None, None)  # key with no right rows at all
     # left row count preserved exactly (left join semantics)
     assert len(got) == 4
+
+
+def test_range_join_binning_exact(spark):
+    """range_join (binned equi-join) must equal the naive inequality join at
+    EVERY bin width, including widths smaller than the intervals."""
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(i, "k" + str(i % 3), (i * 37) % 100) for i in range(60)],
+        "pid long, k string, x long",
+    )
+    ivs = spark.createDataFrame(
+        [(j, "k" + str(j % 3), (j * 23) % 90, (j * 23) % 90 + 12)
+         for j in range(20)] + [(99, "k0", 50, 40)],  # inverted: dropped
+        "iid long, k string, lo long, hi long",
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.join(ivs, "k")
+        .filter(F.col("x").between(F.col("lo"), F.col("hi")))
+        .collect()
+    )
+    assert want  # non-trivial fixture
+    for w in (1, 5, 12, 100):
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(
+                pts, ivs, "x", "lo", "hi", by=["k"], bin_width=w
+            ).collect()
+        )
+        assert got == want, f"bin_width={w}"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        range_join(pts, ivs, "x", "lo", "hi", bin_width=0)
