@@ -247,3 +247,33 @@ def test_plan_quality_bm25(spark):
     info = scan_pushdown_info(pruned)
     assert info["pushed_filters"] and "lang" in info["pushed_filters"]
     assert info["read_schema"] and "text" not in info["read_schema"]
+
+
+def test_cli_ann_index_end_to_end(spark, tmp_path):
+    """build-ann-index → ann-search CLI pair over the embeddings table; the
+    prebuilt artifact must reproduce the inline operator exactly."""
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark import cli
+    from dense_retriever_spark.operators.similarity import ivf_ann_topk
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = str(tmp_path / "ann_idx")
+    cli.main(["build-ann-index", "--embeddings", emb_path,
+              "--index-dir", idx, "--n-centroids", "8"])
+
+    emb = spark.read.parquet(emb_path)
+    qdir = str(tmp_path / "annq")
+    emb.filter(F.col("vec_id") < 5).write.parquet(qdir)
+    out = str(tmp_path / "annr")
+    cli.main(["ann-search", "--index-dir", idx, "--queries", qdir,
+              "--top-n", "3", "--nprobe", "4", "--out", out])
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
+    )
+    want = sorted(map(tuple, ivf_ann_topk(
+        emb, qv, k=3, n_centroids=8, nprobe=4
+    ).collect()))
+    assert got == want and len(got) > 0
