@@ -46,6 +46,16 @@ def asof_join(
     struct's natural order (the max payload wins).
     """
     by = by or []
+    if not by:
+        import warnings
+
+        warnings.warn(
+            "asof_join with no `by` keys sorts BOTH inputs through a single "
+            "partition-less window — fine for one bounded series, a scale "
+            "hazard otherwise; partition by your entity key",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     value_cols = value_cols or [
         c for c in right.columns if c not in set(by) | {on}
     ]

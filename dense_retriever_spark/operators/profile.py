@@ -26,13 +26,23 @@ PROFILE_SCHEMA_COLS = [
 ]
 
 
-def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Exact numeric profile of ``cols``:
+def profile_numeric(
+    df: DataFrame, cols: list[str], exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Numeric profile of ``cols``:
     (col_name, n, n_null, n_distinct, min_value, max_value, p25, p50, p75).
 
     ``n`` counts ALL rows (including nulls); ``n_null`` the null rows;
-    aggregates ignore nulls per SQL semantics. Quartiles are exact linear
-    interpolation (Spark ``percentile`` == DuckDB ``quantile_cont``).
+    aggregates ignore nulls per SQL semantics.
+
+    ``exact=True``: quartiles via Spark ``percentile`` — exact linear
+    interpolation, == DuckDB ``quantile_cont`` (the q52 oracle mode). The
+    exact aggregate BUFFERS every value of a group in executor memory, and
+    here one group is one whole column — right for test/sample-scale
+    profiling, an OOM at 10^11 rows. ``exact=False`` is the 100 TB mode:
+    ``approx_percentile`` (mergeable bounded-memory sketch, rank error
+    ≤ 1/``accuracy``) — not bit-reproducible cross-engine, hence pytest-only.
     """
     if not cols:
         raise ValueError("profile_numeric needs at least one column")
@@ -42,6 +52,10 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     stacked = df.selectExpr(
         f"stack({len(cols)}, {pairs}) AS (col_name, value)"
     )
+    if exact:
+        pct = "percentile(value, {q})"
+    else:
+        pct = f"approx_percentile(value, {{q}}, {accuracy})"
     r6 = lambda c: F.round(c, 6)  # noqa: E731
     return (
         stacked.groupBy("col_name")
@@ -51,9 +65,9 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
             F.countDistinct("value").alias("n_distinct"),
             r6(F.min("value")).alias("min_value"),
             r6(F.max("value")).alias("max_value"),
-            r6(F.expr("percentile(value, 0.25)")).alias("p25"),
-            r6(F.expr("percentile(value, 0.5)")).alias("p50"),
-            r6(F.expr("percentile(value, 0.75)")).alias("p75"),
+            r6(F.expr(pct.format(q=0.25)).cast("double")).alias("p25"),
+            r6(F.expr(pct.format(q=0.5)).cast("double")).alias("p50"),
+            r6(F.expr(pct.format(q=0.75)).cast("double")).alias("p75"),
         )
         .orderBy("col_name")
     )

@@ -342,3 +342,25 @@ def test_range_join_binning_exact(spark):
 
     with _pytest.raises(ValueError):
         range_join(pts, ivs, "x", "lo", "hi", bin_width=0)
+
+
+def test_profile_approx_mode_and_asof_warning(spark):
+    from dense_retriever_spark.operators.asof import asof_join
+    from dense_retriever_spark.operators.profile import profile_numeric
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    rows = {
+        r["col_name"]: r
+        for r in profile_numeric(df, ["id", "v"], exact=False).collect()
+    }
+    # sketch quartiles land within rank-error of the exact values
+    assert abs(rows["id"]["p50"] - 499.5) <= 2
+    assert abs(rows["v"]["p75"] - 1499.0) <= 4
+    assert rows["id"]["n_distinct"] == 1000
+
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, 10)], "id long, ts long")
+    right = spark.createDataFrame([(5, 1.0)], "ts long, price double")
+    with _pytest.warns(RuntimeWarning, match="partition-less"):
+        asof_join(left, right, on="ts")
