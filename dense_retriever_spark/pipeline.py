@@ -71,6 +71,7 @@ def near_dup_kill_list(
     shingle_n: int = 3,
     max_bucket: int = 256,
     algorithm: str = "star",
+    extra_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id) kill-list: every non-minimum member of each near-dup
     component over ``docs`` (doc_id, text).
@@ -80,6 +81,11 @@ def near_dup_kill_list(
     paired with its cluster's min id), so a component covers the FULL
     near+exact cluster; components via the star contraction (O(log n)
     rounds). The minimum doc_id of each component survives.
+
+    ``extra_pairs``: optional additional (id_a, id_b) edges unioned into the
+    component graph — e.g. ``embedding_near_dup_pairs`` over an embedding
+    column, or ``simhash_pairs`` — so every dedup signal in the family
+    contributes to ONE kill-list/compaction decision.
     """
     from dense_retriever_spark.operators.dedup import (
         connected_components,
@@ -98,9 +104,10 @@ def near_dup_kill_list(
         base, n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
         collapse_exact=True, max_bucket=max_bucket,
     )
-    comps = connected_components(
-        near_pairs.unionByName(exact_pairs), algorithm=algorithm
-    )
+    edges = near_pairs.unionByName(exact_pairs)
+    if extra_pairs is not None:
+        edges = edges.unionByName(extra_pairs.select("id_a", "id_b"))
+    comps = connected_components(edges, algorithm=algorithm)
     return comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
 
 

@@ -230,3 +230,19 @@ def test_refresh_uses_distributed_plane_for_large_query_sets(
     )
     assert calls, "auto mode did not route through the distributed plane"
     assert 0.0 <= rounds[0]["mrr@5"] <= 1.0
+
+
+def test_near_dup_kill_list_extra_pairs(spark):
+    """Edges from any dedup signal (here: a synthetic embedding-near-dup
+    pair) merge into the same component graph as the text signals."""
+    from dense_retriever_spark.pipeline import near_dup_kill_list
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    base = near_dup_kill_list(docs)
+    assert base.count() == 0  # no text dupes
+    extra = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    kill = near_dup_kill_list(docs, extra_pairs=extra)
+    assert sorted(r["doc_id"] for r in kill.collect()) == [3, 5]  # 0 survives
