@@ -92,7 +92,10 @@ def cmd_search(args) -> None:
         eager=not args.lazy,
     )
     res.write.mode("overwrite").parquet(args.out)
-    print(json.dumps({"results": args.out, "rows": res.count()}))
+    # count the WRITTEN parquet — counting `res` under --lazy would re-run
+    # the whole search a second time
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"results": args.out, "rows": n}))
 
 
 def cmd_evaluate(args) -> None:
@@ -231,7 +234,10 @@ def cmd_ann_search(args) -> None:
         exclude_self=not args.keep_self,
     )
     res.write.mode("overwrite").parquet(args.out)
-    print(json.dumps({"results": args.out, "rows": res.count()}))
+    # count the WRITTEN parquet, not the lazy plan (which would re-run the
+    # probe+join+topk DAG end to end)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"results": args.out, "rows": n}))
 
 
 def cmd_refresh(args) -> None:

@@ -168,9 +168,15 @@ def search_ann_index(
         "query_vec_id", "qvec", "centroid_id",
         cosine_expr(F.col("qvec"), F.col("cvec")).alias("cdot"),
     )
+    # materialized ONCE (localCheckpoint): the probe relation feeds both the
+    # probed-cell collect below and the candidate join, and every downstream
+    # action over the (lazy) result would otherwise re-run the |Q|×K
+    # probe scoring from scratch
     probes = topk_per_group(
         q_scored, "query_vec_id", "cdot", nprobe, id_col="centroid_id"
-    ).select("query_vec_id", "qvec", "centroid_id")
+    ).select("query_vec_id", "qvec", "centroid_id").localCheckpoint(
+        eager=True
+    )
 
     # bounded collect: at most K distinct cell ids regardless of |Q|
     probed = [

@@ -216,11 +216,18 @@ def _finish(
     k: int,
     eager: bool,
     bcs: list,
+    cached: list | None = None,
 ) -> DataFrame:
     """Global exact top-k + deterministic tie-break; eager → materialize the
     (≤ k × |Q|)-row result EXECUTOR-SIDE via localCheckpoint (never funnelled
-    through the driver — round-3 ADVICE) and release the per-call broadcasts
-    immediately instead of waiting for caller GC."""
+    through the driver — round-3 ADVICE), release the per-call broadcasts
+    immediately instead of waiting for caller GC, and unpersist any
+    intermediate relations in ``cached``.
+
+    localCheckpoint blocks are NOT replicated: on a cluster with dynamic
+    allocation / executor churn, consume the eager result promptly (the CLI
+    writes it immediately) or use ``eager=False`` and own the write — the
+    lazy plan recomputes through lineage and is churn-safe."""
     out = topk_per_group(local.drop("rank"), "query_id", "score", k)
     out = out.select(
         F.col("query_id").cast("long"),
@@ -233,6 +240,8 @@ def _finish(
     out = out.localCheckpoint(eager=True)
     for bc in bcs:
         bc.destroy()
+    for df in cached or []:
+        df.unpersist()
     return out
 
 
@@ -431,11 +440,13 @@ def _search_distributed(
     dps = stats["docs_per_shard"]
     from dense_retriever_spark.operators.bm25 import query_terms
 
-    # (query_id, term) DISTINCT — never collected. Materialized executor-side
-    # ONCE (localCheckpoint): the relation feeds three separate jobs (the
-    # term-count probe, the stats join, the scan prefilter), and without the
-    # checkpoint each would re-run the tokenizer over the full query set.
-    qt = query_terms(queries_df).localCheckpoint(eager=True)
+    # (query_id, term) DISTINCT — never collected. PERSISTED (not
+    # localCheckpoint-ed) so (a) the tokenizer runs once although the
+    # relation feeds three jobs (term-count probe, stats join, scan
+    # prefilter) and (b) the blocks are explicitly unpersisted in _finish's
+    # eager path instead of leaking one checkpointed RDD per call until GC
+    # (the training-set regime pins millions of rows per round otherwise).
+    qt = query_terms(queries_df).persist()
     gstats = spark.read.parquet(paths.global_dir).select("term", "df")
     # inner join == the broadcast plane's `t in idfs` OOV filter
     qti = qt.join(gstats, "term").select(
@@ -520,4 +531,4 @@ def _search_distributed(
         .cogroup(q_shard.groupby("shard"))
         .applyInPandas(_score_dist, schema=RESULT_SCHEMA)
     )
-    return _finish(spark, local, k, eager, bcs)
+    return _finish(spark, local, k, eager, bcs, cached=[qt])

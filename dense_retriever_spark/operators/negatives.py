@@ -186,18 +186,28 @@ def stratified_sample(
     w = Window.partitionBy(group_col).orderBy(
         F.desc("_es_key"), F.asc("_es_h")
     )
-    quota = F.lit(int(n_per_group))
+    ranked = (
+        df.withColumn("_es_key", key)
+        .withColumn("_es_h", h)
+        .withColumn("_es_rank", F.row_number().over(w))
+    )
+    # TWO filters, deliberately: Spark's InferWindowGroupLimit only fires
+    # when row_number() is compared to a FOLDABLE literal — a per-group
+    # coalesce(map[...]) bound would keep the full ranked window (every row
+    # of every group sorted and ranked). The literal max-quota bound gets
+    # the per-partition group-limit pushdown; the per-group quota then
+    # prunes the ≤ max-quota survivors.
+    max_quota = int(n_per_group)
+    if quotas:
+        max_quota = max(max_quota, *(int(v) for v in quotas.values()))
+    out = ranked.filter(F.col("_es_rank") <= F.lit(max_quota))
     if quotas:
         mapping = F.create_map(
             *[F.lit(x) for kv in quotas.items() for x in kv]
         )
         quota = F.coalesce(
-            mapping.getItem(F.col(group_col)).cast("int"), quota
+            mapping.getItem(F.col(group_col)).cast("int"),
+            F.lit(int(n_per_group)),
         )
-    return (
-        df.withColumn("_es_key", key)
-        .withColumn("_es_h", h)
-        .withColumn("_es_rank", F.row_number().over(w))
-        .filter(F.col("_es_rank") <= quota)
-        .drop("_es_rank")
-    )
+        out = out.filter(F.col("_es_rank") <= quota)
+    return out.drop("_es_rank")

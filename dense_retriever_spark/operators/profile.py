@@ -46,8 +46,11 @@ def profile_numeric(
     """
     if not cols:
         raise ValueError("profile_numeric needs at least one column")
+    # backtick-quoted identifiers: reserved words ('order') and special
+    # characters in column names must profile, not parse-error
     pairs = ", ".join(
-        f"'{c}', CAST({c} AS DOUBLE)" for c in cols
+        "'{0}', CAST(`{0}` AS DOUBLE)".format(c.replace("`", "``"))
+        for c in cols
     )
     stacked = df.selectExpr(
         f"stack({len(cols)}, {pairs}) AS (col_name, value)"
@@ -77,7 +80,8 @@ def profile_sql(table: str, cols: list[str]) -> str:
     """The DuckDB twin of ``profile_numeric`` over ``table`` — same unpivot,
     same exact statistics, same 6dp rounding."""
     stacked = " UNION ALL ".join(
-        f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS value FROM {table}"
+        'SELECT \'{0}\' AS col_name, CAST("{1}" AS DOUBLE) AS value '
+        "FROM {2}".format(c, c.replace('"', '""'), table)
         for c in cols
     )
     return f"""

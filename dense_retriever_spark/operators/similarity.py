@@ -496,11 +496,14 @@ def lsh_bucketed_topk(
     rank). Equi-join on bucket replaces the cross join."""
     import warnings
 
+    # FutureWarning, not DeprecationWarning: the latter is filtered out by
+    # default outside __main__/test runners, and this pointer must reach
+    # end users of the library
     warnings.warn(
         "lsh_bucketed_topk buckets on the first n_bits dimension signs and "
         "has no recall guarantee; use srp_ann_topk (seeded-hyperplane SRP "
         "LSH) instead",
-        DeprecationWarning,
+        FutureWarning,
         stacklevel=2,
     )
     e = embeddings.withColumn("bucket", srp_bucket_expr(F.col(vec_col), n_bits))

@@ -58,10 +58,20 @@ def apply_kill_list(
     if n_kill == 0:
         return None, False
     n_docs = (stats or load_stats(index_dir))["n_docs"]
-    if n_kill < compact_min_ids and n_kill < compact_fraction * n_docs:
+    if not should_compact(n_kill, n_docs, compact_fraction, compact_min_ids):
         return kill, False
     compact_index(spark, index_dir, kill)
     return None, True
+
+
+def should_compact(
+    n_kill: int, n_docs: int,
+    compact_fraction: float = 0.1, compact_min_ids: int = 10_000_000,
+) -> bool:
+    """The threshold predicate behind apply_kill_list, exposed for callers
+    that can act BEFORE an index exists (the refresh loop filters the corpus
+    pre-build instead of compacting post-build)."""
+    return n_kill >= compact_min_ids or n_kill >= compact_fraction * n_docs
 
 
 def near_dup_kill_list(
@@ -141,15 +151,19 @@ def refresh_rounds(
 
     ``dedup_near``: per round, compute the near-dup kill-list over the
     ingested corpus (near_dup_kill_list: minhash-LSH ∪ exact pairs → star
-    components → non-minimum members) and run the tombstone-vs-compaction
-    POLICY (apply_kill_list): below both thresholds the kill-list rides as
+    components → non-minimum members) BEFORE the build, and run the
+    tombstone-vs-compaction POLICY (should_compact — the same thresholds as
+    apply_kill_list): below both thresholds the kill-list rides as
     search-time tombstones (exact, no rebuild); past ``compact_fraction`` of
-    the corpus or ``compact_min_ids`` absolute, the index is physically
-    compacted and the corpus table rewritten to the survivors (so the next
-    round's fingerprint resume does not resurrect killed docs). This is the
-    automatic escape hatch the round-3 verdict asked for — no docstring
-    reading required. Doc ids are never reused after a compaction: the id
-    watermark is a monotone driver-side scalar, not a corpus count.
+    the corpus or ``compact_min_ids`` absolute, the corpus table is
+    rewritten to the survivors and the index built directly over them —
+    each touched shard is built once (apply_kill_list's post-hoc
+    compact_index is for indexes that already exist). The corpus rewrite
+    also means the next round's fingerprint resume cannot resurrect killed
+    docs. This is the automatic escape hatch the round-3 verdict asked for —
+    no docstring reading required. Doc ids are never reused after a
+    compaction: the id watermark is a monotone driver-side scalar, not a
+    corpus count.
     """
     from dense_retriever_spark.index.build import (
         assign_doc_ids_scalable,
@@ -226,6 +240,33 @@ def refresh_rounds(
         n_total = int(row["m"]) + 1 if row["m"] is not None else 0
         n_docs_now = int(row["c"])
 
+        # kill-list BEFORE the build: a compacting round filters the corpus
+        # and builds the index directly over the survivors — each touched
+        # shard is built exactly once, instead of built from the dup-laden
+        # corpus and immediately rebuilt by compact_index
+        excl, compacted, n_kill = None, False, 0
+        if dedup_near:
+            kill = near_dup_kill_list(
+                ingested.select("doc_id", F.col("content").alias("text"))
+            ).localCheckpoint(eager=True)  # reused by policy + rewrite
+            n_kill = kill.count()
+            if n_kill and should_compact(
+                n_kill, n_docs_now, compact_fraction, compact_min_ids
+            ):
+                # the corpus must agree with the (about-to-be-built) index,
+                # or the next round's fingerprint resume would resurrect
+                # the killed docs; survivors are checkpointed BEFORE the
+                # overwrite (reading and overwriting one path is undefined)
+                survivors = ingested.join(
+                    kill, "doc_id", "left_anti"
+                ).localCheckpoint(eager=True)
+                survivors.write.mode("overwrite").parquet(corpus_path)
+                ingested = spark.read.parquet(corpus_path)
+                n_docs_now -= n_kill
+                compacted = True
+            elif n_kill:
+                excl = kill  # below threshold: search-time tombstones
+
         timings: dict = {}
         build_index(
             ingested,
@@ -235,29 +276,6 @@ def refresh_rounds(
             timings=timings,
             build_tag=f"round{rnd}",
         )
-
-        excl, compacted, n_kill = None, False, 0
-        if dedup_near:
-            kill = near_dup_kill_list(
-                ingested.select("doc_id", F.col("content").alias("text"))
-            ).localCheckpoint(eager=True)  # reused by policy + rewrite
-            n_kill = kill.count()
-            excl, compacted = apply_kill_list(
-                spark, index_dir, kill,
-                compact_fraction=compact_fraction,
-                compact_min_ids=compact_min_ids,
-            )
-            if compacted:
-                # the corpus must agree with the compacted index, or the
-                # next round's fingerprint resume would resurrect the
-                # killed docs; survivors are checkpointed BEFORE the
-                # overwrite (reading and overwriting one path is undefined)
-                survivors = ingested.join(
-                    kill, "doc_id", "left_anti"
-                ).localCheckpoint(eager=True)
-                survivors.write.mode("overwrite").parquet(corpus_path)
-                ingested = spark.read.parquet(corpus_path)
-                n_docs_now -= n_kill
 
         # query_mode='auto': the refresh loop searches the FULL query-sample
         # set each round (the reference's training.py:75-83 regime) — at

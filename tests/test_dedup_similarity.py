@@ -263,7 +263,10 @@ def test_connected_components_property(spark):
         df = spark.createDataFrame(sorted(set(pairs)), "id_a long, id_b long")
         got = {
             r["doc_id"]: r["component"]
-            for r in connected_components(df).collect()
+            # label_prop pinned: the library default flipped to star in
+            # round 4, and this test must keep BOTH algorithms against the
+            # union-find ground truth
+            for r in connected_components(df, algorithm="label_prop").collect()
         }
         assert got == want
         got_star = {
