@@ -244,6 +244,55 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') i
 """
 
 
+# ---------------------------------------------------------------------------
+# q55 — REAL pixel decode under the hash gate: gradient binary-PPM images
+# (each row a solid md5-derived color) are decoded by the pure-numpy PPM
+# codec, resized by the nearest-neighbor kernel, and fingerprinted; the
+# oracle reconstructs the resized raster in plain SQL (pick source rows by
+# the floor-index map, repeat each row color out_width times) and hashes the
+# same hex. Until round 4 the media decode step was pytest-only (the PIL
+# branch cannot run without PIL); this puts actual pixel bytes cross-engine.
+# ---------------------------------------------------------------------------
+
+_Q55_N, _Q55_SRC_W, _Q55_SRC_H = 40, 6, 8
+_Q55_W, _Q55_H, _Q55_SEED = 3, 4, 7
+
+
+def q55_ppm_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.operators.multimodal import (
+        resize_images,
+        synth_gradient_ppm_assets,
+    )
+
+    assets = synth_gradient_ppm_assets(
+        spark, _Q55_N, width=_Q55_SRC_W, height=_Q55_SRC_H, seed=_Q55_SEED
+    )
+    out = resize_images(
+        assets, width=_Q55_W, height=_Q55_H, decoder="ppm", fingerprint="hex"
+    )
+    return out.select("asset_id", "width", "height", "out_bytes", "resize_sha")
+
+
+Q55_SQL = f"""
+WITH a AS (SELECT i AS asset_id FROM range({_Q55_N}) t(i)),
+r AS (
+  SELECT a.asset_id, j AS out_row,
+         repeat(substr(md5('ppm{_Q55_SEED}:' || a.asset_id::VARCHAR || ':' ||
+                ((j * {_Q55_SRC_H}) // {_Q55_H})::VARCHAR), 1, 6),
+                {_Q55_W}) AS row_hex
+  FROM a, generate_series(0, {_Q55_H - 1}) s(j)
+),
+g AS (
+  SELECT asset_id, string_agg(row_hex, '' ORDER BY out_row) AS raster_hex
+  FROM r GROUP BY asset_id
+)
+SELECT asset_id, {_Q55_W}::INT AS width, {_Q55_H}::INT AS height,
+       {_Q55_W * _Q55_H * 3}::BIGINT AS out_bytes,
+       sha256(raster_hex) AS resize_sha
+FROM g
+"""
+
+
 QUERIES6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_distributed_search": q49_distributed_search,
     "q50_ann_index_search": q50_ann_index_search,
@@ -251,6 +300,7 @@ QUERIES6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_profile": q52_profile,
     "q53_asof_join": q53_asof_join,
     "q54_range_join": q54_range_join,
+    "q55_ppm_decode_resize": q55_ppm_decode_resize,
 }
 
 
@@ -265,6 +315,7 @@ def _oracles6() -> dict[str, str]:
         "q52_profile": _q52_sql(),
         "q53_asof_join": Q53_SQL,
         "q54_range_join": Q54_SQL,
+        "q55_ppm_decode_resize": Q55_SQL,
     }
 
 

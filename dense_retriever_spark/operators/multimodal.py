@@ -165,6 +165,51 @@ def synth_ppm_assets(
     return spark.range(n).mapInPandas(fn, schema=PPM_ASSET_SCHEMA)
 
 
+def synth_gradient_ppm_assets(
+    spark: SparkSession, n: int, width: int = 6, height: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """REAL PPM images whose pixels are SQL-reproducible: each ROW of image
+    ``asset_id`` is the solid 3-byte color ``md5('ppm{seed}:{id}:{row}')
+    [:6 hex chars]``. A nearest-neighbor resize of such an image is fully
+    reconstructible in plain SQL (pick rows by the floor-index map, repeat
+    the row color out_width times) — the construction behind the q55 oracle,
+    which puts actual pixel decoding under the driver's hash gate."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for aid in pdf["id"]:
+                rows = [
+                    np.frombuffer(
+                        bytes.fromhex(
+                            hashlib.md5(
+                                f"ppm{seed}:{int(aid)}:{r}".encode()
+                            ).hexdigest()[:6]
+                        ),
+                        dtype=np.uint8,
+                    )
+                    for r in range(height)
+                ]
+                img = np.stack(
+                    [np.tile(c, (width, 1)) for c in rows]
+                )  # (h, w, 3)
+                payloads.append(encode_ppm(img))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["id"],
+                    "kind": "image",
+                    "payload": payloads,
+                    "mime": "image/x-portable-pixmap",
+                    "width": width,
+                    "height": height,
+                    "duration_ms": None,
+                }
+            )
+
+    return spark.range(n).mapInPandas(fn, schema=PPM_ASSET_SCHEMA)
+
+
 def _decode_stub(payload: bytes, kind: str, dim: int) -> np.ndarray:
     """STUB: deterministic fake 'decoder'. A real deployment replaces this with
     PIL/torchaudio/ffmpeg frame sampling; everything around it (Arrow batch
@@ -214,6 +259,7 @@ def resize_images(
     width: int = 64,
     height: int = 64,
     decoder: str = "stub",
+    fingerprint: str = "raw",
 ) -> DataFrame:
     """mapInPandas image resize — 1:1 row shape, images only.
 
@@ -236,13 +282,24 @@ def resize_images(
       branch that makes real pixel decode testable in containers without
       PIL (synth_ppm_assets generates oracle-checkable inputs).
     - ``"auto"``: pil when available, stub otherwise.
+
+    ``fingerprint``: ``"raw"`` hashes the resized RGB raster bytes;
+    ``"hex"`` hashes its LOWERCASE-HEX string instead — the
+    cross-engine-verifiable form (the oracle engine's sha256 only accepts
+    VARCHAR, q55). Applies to the real decoders (pil/ppm).
     """
     if decoder == "auto":
         decoder = "pil" if _HAS_PIL else "stub"
     if decoder not in ("pil", "ppm", "stub"):
         raise ValueError(f"unknown decoder {decoder!r}")
+    if fingerprint not in ("raw", "hex"):
+        raise ValueError(f"unknown fingerprint {fingerprint!r}")
     if decoder == "pil" and not _HAS_PIL:
         raise ImportError("decoder='pil' requested but PIL is not installed")
+
+    def _sha(raw: bytes) -> str:
+        data = raw.hex().encode("ascii") if fingerprint == "hex" else raw
+        return hashlib.sha256(data).hexdigest()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -253,7 +310,7 @@ def resize_images(
                 for p in pdf["payload"]:
                     img = _PILImage.open(io.BytesIO(bytes(p))).convert("RGB")
                     raw = img.resize((width, height)).tobytes()
-                    out_sha.append(hashlib.sha256(raw).hexdigest())
+                    out_sha.append(_sha(raw))
                     out_bytes.append(len(raw))
             elif decoder == "ppm":
                 out_sha, out_bytes = [], []
@@ -261,7 +318,7 @@ def resize_images(
                     raw = resize_nearest(
                         decode_ppm(bytes(p)), width, height
                     ).tobytes()
-                    out_sha.append(hashlib.sha256(raw).hexdigest())
+                    out_sha.append(_sha(raw))
                     out_bytes.append(len(raw))
             else:
                 shas = [
