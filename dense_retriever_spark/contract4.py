@@ -581,15 +581,18 @@ def _q39_sql() -> str:
     return kmv_sql(src, "term", ["lang"], k=_KMV_K) + " ORDER BY lang"
 
 
+# q32_mrr_at_k and q36_dedup_components are retired from the driver gate
+# (round-5 slot cleanup): q04/q05 gate reciprocal-rank and MRR (q32 is the
+# same metric with a k parameter), and q42_dedup_components_star gates the
+# connected-components operator with the default (large-star/small-star)
+# algorithm — q36's label-prop variant keeps its pytest equivalence test.
 QUERIES4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_shuffled_sample": q29_shuffled_sample,
     "q30_simhash_pairs": q30_simhash_pairs,
     "q31_srp_ann": q31_srp_ann,
-    "q32_mrr_at_k": q32_mrr_at_k,
     "q33_resize_images": q33_resize_images,
     "q34_sample_frames": q34_sample_frames,
     "q35_embedding_near_dups": q35_embedding_near_dups,
-    "q36_dedup_components": q36_dedup_components,
     "q37_ivf_ann": q37_ivf_ann,
     "q38_indexed_search": q38_indexed_search,
     "q39_kmv_distinct_tokens": q39_kmv_distinct_tokens,
@@ -599,11 +602,9 @@ ORACLES4: dict[str, str] = {
     "q29_shuffled_sample": Q29_SQL,
     "q30_simhash_pairs": Q30_SQL,
     "q31_srp_ann": _q31_sql(),
-    "q32_mrr_at_k": Q32_SQL,
     "q33_resize_images": Q33_SQL,
     "q34_sample_frames": Q34_SQL,
     "q35_embedding_near_dups": _q35_sql(),
-    "q36_dedup_components": Q36_SQL,
     "q37_ivf_ann": Q37_SQL,
     "q38_indexed_search": None,  # set below: exact BM25 oracle (Q01_SQL)
     "q39_kmv_distinct_tokens": _q39_sql(),

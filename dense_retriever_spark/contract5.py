@@ -388,12 +388,14 @@ def _q48_sql() -> str:
     )
 
 
+# q44_srp_ann_pandas is retired from the driver gate (round-5 VERDICT ask):
+# it gated a second code path of the same operator q31_srp_ann gates; the
+# pandas/expr parity stays asserted by tests/test_dedup_similarity.py.
 QUERIES5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_windowed_events": q40_windowed_events,
     "q41_compacted_search": q41_compacted_search,
     "q42_dedup_components_star": q42_dedup_components_star,
     "q43_tombstoned_search": q43_tombstoned_search,
-    "q44_srp_ann_pandas": q44_srp_ann_pandas,
     "q45_redact": q45_redact,
     "q46_repetition": q46_repetition,
     "q47_weighted_sample": q47_weighted_sample,
@@ -410,7 +412,6 @@ def _oracles5() -> dict[str, str]:
         "q41_compacted_search": _q41_sql(),
         "q42_dedup_components_star": Q36_SQL,
         "q43_tombstoned_search": _q43_sql(),
-        "q44_srp_ann_pandas": _q31_sql(),
         "q45_redact": _q45_sql(),
         "q46_repetition": Q46_SQL,
         "q47_weighted_sample": Q47_SQL,

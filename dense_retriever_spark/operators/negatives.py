@@ -206,7 +206,7 @@ def stratified_sample(
             *[F.lit(x) for kv in quotas.items() for x in kv]
         )
         quota = F.coalesce(
-            mapping.getItem(F.col(group_col)).cast("int"),
+            mapping[F.col(group_col)].cast("int"),
             F.lit(int(n_per_group)),
         )
         out = out.filter(F.col("_es_rank") <= quota)

@@ -49,7 +49,10 @@ def profile_numeric(
     # backtick-quoted identifiers: reserved words ('order') and special
     # characters in column names must profile, not parse-error
     pairs = ", ".join(
-        "'{0}', CAST(`{0}` AS DOUBLE)".format(c.replace("`", "``"))
+        "'{0}', CAST(`{1}` AS DOUBLE)".format(
+            c.replace("\\", "\\\\").replace("'", "\\'"),
+            c.replace("`", "``"),
+        )
         for c in cols
     )
     stacked = df.selectExpr(
@@ -81,7 +84,7 @@ def profile_sql(table: str, cols: list[str]) -> str:
     same exact statistics, same 6dp rounding."""
     stacked = " UNION ALL ".join(
         'SELECT \'{0}\' AS col_name, CAST("{1}" AS DOUBLE) AS value '
-        "FROM {2}".format(c, c.replace('"', '""'), table)
+        "FROM {2}".format(c.replace("'", "''"), c.replace('"', '""'), table)
         for c in cols
     )
     return f"""

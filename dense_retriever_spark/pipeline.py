@@ -233,11 +233,16 @@ def refresh_rounds(
         ingested = spark.read.parquet(corpus_path)
         # id watermark must be max(doc_id)+1, NOT a row count: after a
         # compaction rewrote the corpus the count undercounts ever-assigned
-        # ids and a new doc could reuse a killed doc's id
+        # ids and a new doc could reuse a killed doc's id. Carried forward
+        # monotonically: if a round appends zero new docs after a compaction
+        # removed the highest-id docs, max(doc_id) DECREASES — taking it
+        # verbatim would let a later round reassign a killed doc's id,
+        # silently re-attaching old qrels/tombstones to a different document
         row = ingested.agg(
             F.max("doc_id").alias("m"), F.count("*").alias("c")
         ).collect()[0]
-        n_total = int(row["m"]) + 1 if row["m"] is not None else 0
+        if row["m"] is not None:
+            n_total = max(n_total, int(row["m"]) + 1)
         n_docs_now = int(row["c"])
 
         # kill-list BEFORE the build: a compacting round filters the corpus
