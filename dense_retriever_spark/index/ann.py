@@ -37,6 +37,15 @@ from pyspark.sql import functions as F
 
 ANN_FORMAT_VERSION = 1
 
+#: query_mode='auto' switches the probes-side join broadcast → shuffle above
+#: this many probe rows (= |Q| × nprobe). Unlike the probed-CELL id list
+#: (bounded by K), the probe relation carries full query vectors and grows
+#: linearly with |Q| — broadcasting it at training-set scale is the same
+#: driver/executor-memory ceiling the BM25 distributed plane exists to
+#: avoid. ~50k rows × a 64-dim double vector ≈ 25 MB; size down for fat
+#: embeddings.
+ANN_PROBE_BROADCAST_LIMIT = 50_000
+
 
 class AnnIndexPaths:
     def __init__(self, root: str):
@@ -142,6 +151,8 @@ def search_ann_index(
     qid_col: str = "query_vec_id",
     qvec_col: str = "qvec",
     exclude_self: bool = True,
+    query_mode: str = "auto",
+    eager: bool = True,
 ) -> DataFrame:
     """Top-k cosine ANN from the prebuilt index:
     (query_vec_id, vec_id, cosine, rank).
@@ -149,10 +160,29 @@ def search_ann_index(
     Plan: queries × broadcast centroids → nprobe probes per query → the
     DISTINCT probed cell ids (≤ K rows — bounded by the centroid count, not
     |Q|) become a literal partition filter on the cells scan, so unprobed
-    cells are pruned at file-listing time → broadcast the probe relation
-    into the surviving cells → exact cosine + engine-wide (rounded cosine
+    cells are pruned at file-listing time → join the probe relation into
+    the surviving cells → exact cosine + engine-wide (rounded cosine
     DESC, vec_id ASC) top-k. ``exclude_self`` drops vec_id == query_vec_id
     (the self-query convention of the inline operator / q37 oracle).
+
+    ``query_mode``: the probes-side join strategy — the dense twin of
+    ``search(query_mode=...)``. ``'broadcast'`` hints the probe relation
+    into every surviving cell partition (right for interactive batches);
+    ``'shuffle'`` lets it be a shuffle join on centroid_id (the probe
+    relation carries full query vectors, so at training-set |Q| the
+    broadcast is exactly the driver/executor ceiling the distributed BM25
+    plane removed); ``'auto'`` (default) counts the cached probe rows — a
+    ~free job, the relation is persisted anyway — and picks broadcast below
+    ``ANN_PROBE_BROADCAST_LIMIT``.
+
+    ``eager`` (default): run the search now, materialize the bounded
+    (≤ k × |Q|-row) result executor-side (localCheckpoint), and unpersist
+    the probe relation immediately — otherwise each call pins probe blocks
+    on executors until garbage collection (the leak class round-3 fixed for
+    search()'s broadcasts). ``eager=False`` keeps the lazy plan for
+    composition; the caller then owns the probe cache lifetime via the
+    returned DataFrame's ``_persisted_probes`` attribute (unpersist it when
+    done, mirroring assign_doc_ids_scalable's ``_persisted_src``).
     """
     from dense_retriever_spark.operators.similarity import cosine_expr
     from dense_retriever_spark.operators.topk import topk_per_group
@@ -168,15 +198,14 @@ def search_ann_index(
         "query_vec_id", "qvec", "centroid_id",
         cosine_expr(F.col("qvec"), F.col("cvec")).alias("cdot"),
     )
-    # materialized ONCE (localCheckpoint): the probe relation feeds both the
-    # probed-cell collect below and the candidate join, and every downstream
-    # action over the (lazy) result would otherwise re-run the |Q|×K
-    # probe scoring from scratch
+    # computed ONCE (persist; the probed-cell collect below materializes the
+    # cache): the probe relation feeds the cell collect, the auto-mode row
+    # count, and the candidate join — each would otherwise re-run the |Q|×K
+    # probe scoring from scratch. persist (not localCheckpoint) so the
+    # eager path can RELEASE the blocks explicitly via unpersist.
     probes = topk_per_group(
         q_scored, "query_vec_id", "cdot", nprobe, id_col="centroid_id"
-    ).select("query_vec_id", "qvec", "centroid_id").localCheckpoint(
-        eager=True
-    )
+    ).select("query_vec_id", "qvec", "centroid_id").persist()
 
     # bounded collect: at most K distinct cell ids regardless of |Q|
     probed = [
@@ -186,12 +215,35 @@ def search_ann_index(
     cells = spark.read.parquet(paths.cells).filter(
         F.col("centroid_id").isin(probed)
     )
-    cand = cells.join(F.broadcast(probes), "centroid_id")
+    if query_mode == "auto":
+        n_probes = probes.count()  # served from the cache just built
+        query_mode = (
+            "broadcast" if n_probes <= ANN_PROBE_BROADCAST_LIMIT
+            else "shuffle"
+        )
+    if query_mode == "broadcast":
+        cand = cells.join(F.broadcast(probes), "centroid_id")
+    elif query_mode == "shuffle":
+        # cells/ is partitioned by centroid_id on disk; AQE may still elect
+        # a runtime broadcast if the probe side turns out tiny — the point
+        # is only that nothing FORCES a |Q|-growing broadcast
+        cand = cells.join(probes, "centroid_id")
+    else:
+        raise ValueError(f"unknown query_mode {query_mode!r}")
     if exclude_self:
         cand = cand.filter(F.col("query_vec_id") != F.col("vec_id"))
+    # no dedup needed: cell assignment is top-1 (build_ann_index), so each
+    # (query, vec) pair appears at most once — a distinct() here would be a
+    # full extra exchange that removes nothing
     scored = cand.select(
         "query_vec_id",
         "vec_id",
         cosine_expr(F.col("qvec"), F.col("evec")).alias("cosine"),
-    ).distinct()
-    return topk_per_group(scored, "query_vec_id", "cosine", k, id_col="vec_id")
+    )
+    out = topk_per_group(scored, "query_vec_id", "cosine", k, id_col="vec_id")
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        probes.unpersist()
+        return out
+    out._persisted_probes = probes
+    return out

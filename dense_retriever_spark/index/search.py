@@ -64,6 +64,14 @@ QUERY_BROADCAST_LIMIT = 100_000
 #: and the filter would not prune (the scorer still skips unasked terms).
 TERM_FILTER_LIMIT = 1_000_000
 
+#: the broadcast plane prunes its index scans by query term with an
+#: IN-literal (parquet pushdown — row groups skip at file level) only up to
+#: this many distinct terms; past it, the literal itself is the problem (a
+#: 500k-term IN at the 100k-query broadcast cap is a megabyte-scale plan the
+#: driver must compile per search — round-4 verdict) and the filter becomes
+#: a broadcast left-semi join, the same shape the distributed plane uses.
+TERM_ISIN_LIMIT = 4_096
+
 #: warn when a tombstone list crosses the documented broadcast ceiling —
 #: past this, compaction (build.compact_index / the `compact` CLI) is the
 #: intended operation, not a bigger broadcast.
@@ -185,6 +193,19 @@ def _score_shard(
             "rank": np.zeros(sum(x.size for x in out_q), dtype=np.int32),
         }
     )
+
+
+def _term_pruned(
+    df: DataFrame, terms: list[str], spark: SparkSession
+) -> DataFrame:
+    """Prune an index scan to the query-term set: IN-literal below
+    TERM_ISIN_LIMIT (reaches parquet as PushedFilters), broadcast left-semi
+    join above it (the driver already holds the list — shipping it once as
+    a broadcast relation beats compiling a megabyte IN expression)."""
+    if len(terms) <= TERM_ISIN_LIMIT:
+        return df.filter(F.col("term").isin(terms))
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    return df.join(F.broadcast(tdf), "term", "left_semi")
 
 
 def _collect_excl(exclude_doc_ids: DataFrame | None) -> np.ndarray | None:
@@ -343,10 +364,10 @@ def _search_broadcast(
     if not all_terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    # 2. global term stats → idf (filter pushdown on global/; tiny collect)
+    # 2. global term stats → idf (term-pruned scan on global/; the collect
+    # is bounded by the query-term set, which the driver already holds)
     gstats = (
-        spark.read.parquet(paths.global_dir)
-        .filter(F.col("term").isin(all_terms))
+        _term_pruned(spark.read.parquet(paths.global_dir), all_terms, spark)
         .select("term", "df")
         .collect()
     )
@@ -366,8 +387,7 @@ def _search_broadcast(
     excl = _collect_excl(exclude_doc_ids)
     bc = spark.sparkContext.broadcast((qmap, idfs, excl))
     shard_rows = (
-        spark.read.parquet(paths.shards)
-        .filter(F.col("term").isin(present))
+        _term_pruned(spark.read.parquet(paths.shards), present, spark)
         .select("shard", "term", "postings", "block_last_doc_id",
                 "block_max_tf", "block_min_dl")
     )

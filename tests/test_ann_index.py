@@ -53,13 +53,71 @@ def test_prebuilt_equals_inline(spark, emb, ann_dir):
 def test_partition_pruning(spark, emb, ann_dir):
     from dense_retriever_spark.plans import formatted_plan
 
-    df = search_ann_index(spark, ann_dir, _queries(emb), k=K, nprobe=NPROBE)
+    # eager=False: the eager default localCheckpoints the RESULT, which
+    # replaces the plan with an RDD scan — lazy keeps it inspectable
+    df = search_ann_index(
+        spark, ann_dir, _queries(emb), k=K, nprobe=NPROBE, eager=False
+    )
     plan = formatted_plan(df)
     # the probed-cell filter must reach the cells scan as a PARTITION filter
     # (file-level pruning), not a post-scan row filter
     assert "PartitionFilters" in plan
     seg = plan[plan.index("cells") :]
     assert "centroid_id" in seg.split("PushedFilters")[0]
+    df._persisted_probes.unpersist()
+
+
+def test_big_batch_probes_not_broadcast(spark, emb, ann_dir, monkeypatch):
+    """Round-4 verdict: the probe relation carries full query vectors and
+    grows with |Q| — above ANN_PROBE_BROADCAST_LIMIT, query_mode='auto'
+    must NOT force a probe broadcast into the cells join (the same ceiling
+    the distributed BM25 plane removed on the text side)."""
+    import dense_retriever_spark.index.ann as ann_mod
+    from dense_retriever_spark.plans import physical_plan
+
+    monkeypatch.setattr(ann_mod, "ANN_PROBE_BROADCAST_LIMIT", 1)
+    # disable SIZE-based auto-broadcast so the plan shows only what the
+    # code FORCES: at test scale Catalyst would broadcast the tiny probes
+    # on its own statistics (which is fine and adaptive — at real |Q| the
+    # size estimate exceeds the threshold and it picks a shuffle join)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = search_ann_index(
+            spark, ann_dir, _queries(emb), k=K, nprobe=NPROBE, eager=False
+        )
+        plan = physical_plan(df)
+        assert "BroadcastHashJoin" not in plan.split("InMemoryRelation")[0], (
+            plan
+        )
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        df._persisted_probes.unpersist()
+
+        # below the threshold the same call still HINT-broadcasts probes
+        monkeypatch.setattr(ann_mod, "ANN_PROBE_BROADCAST_LIMIT", 50_000)
+        df_small = search_ann_index(
+            spark, ann_dir, _queries(emb), k=K, nprobe=NPROBE, eager=False
+        )
+        small_plan = physical_plan(df_small)
+        assert "BroadcastHashJoin" in small_plan.split("InMemoryRelation")[0]
+        df_small._persisted_probes.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_shuffle_mode_bit_identical(spark, emb, ann_dir):
+    """Both probe-join strategies are physical-plan choices only — results
+    must match row for row (the search() broadcast/distributed invariant,
+    dense twin)."""
+    b = sorted(map(tuple, search_ann_index(
+        spark, ann_dir, _queries(emb), k=K, nprobe=NPROBE,
+        query_mode="broadcast",
+    ).collect()))
+    s = sorted(map(tuple, search_ann_index(
+        spark, ann_dir, _queries(emb), k=K, nprobe=NPROBE,
+        query_mode="shuffle",
+    ).collect()))
+    assert b == s and len(b) > 0
 
 
 def test_meta_guard(spark, emb, tmp_path):

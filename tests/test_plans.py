@@ -72,3 +72,37 @@ def test_search_scan_term_pushdown(spark, tmp_path):
     info = scan_pushdown_info(shard_rows)
     assert info["pushed_filters"] and "In(term" in info["pushed_filters"], info
     assert "content" not in (info["read_schema"] or "")
+
+
+def test_broadcast_plane_term_semijoin_above_limit(spark, tmp_path,
+                                                   monkeypatch):
+    """Above TERM_ISIN_LIMIT the broadcast plane must prune its index scans
+    with a broadcast left-semi join, not a query-term IN-literal (a 500k-term
+    IN is a megabyte-scale plan compiled per search — round-4 verdict); below
+    the limit the IN-literal stays (it reaches parquet as PushedFilters)."""
+    import dense_retriever_spark.index.search as search_mod
+    from dense_retriever_spark.corpus import ingest, synth_corpus, synth_queries
+    from dense_retriever_spark.index.build import build_index
+    from dense_retriever_spark.index.search import search
+    from dense_retriever_spark.plans import physical_plan
+
+    d = str(tmp_path / "semidx")
+    build_index(ingest(synth_corpus(spark, 120)), d, docs_per_shard=64,
+                term_buckets=2)
+    qs = synth_queries(spark, 5)
+
+    monkeypatch.setattr(search_mod, "TERM_ISIN_LIMIT", 1)
+    plan = physical_plan(search(spark, d, qs, k=5, eager=False))
+    assert "LeftSemi" in plan, plan
+    assert "In(term" not in plan, plan
+
+    monkeypatch.setattr(search_mod, "TERM_ISIN_LIMIT", 4_096)
+    plan = physical_plan(search(spark, d, qs, k=5, eager=False))
+    assert "In(term" in plan, plan
+
+    # both shapes score identically (the semi-join is plan-only)
+    monkeypatch.setattr(search_mod, "TERM_ISIN_LIMIT", 1)
+    semi = sorted(map(tuple, search(spark, d, qs, k=5).collect()))
+    monkeypatch.setattr(search_mod, "TERM_ISIN_LIMIT", 4_096)
+    lit = sorted(map(tuple, search(spark, d, qs, k=5).collect()))
+    assert semi == lit and len(semi) > 0
