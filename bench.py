@@ -63,7 +63,7 @@ def main() -> None:
     n_corpus = max(2000, n_docs_table * 64)
 
     timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
+    extra: dict[str, object] = {}
 
     def timed(name, fn):
         t0 = time.time()
@@ -86,19 +86,29 @@ def main() -> None:
     idx_dir = tempfile.mkdtemp(prefix="bench_idx_", dir=shm) + "/index"
 
     dps = max(1024, n_corpus // (2 * cpus))
+    # per-phase attribution (round-4 verdict): driver-bench build numbers
+    # straddled a measured box-contention band; phase splits let a future
+    # regression be attributed to stage_docs / phase A / phase B in one
+    # artifact instead of needing a re-run
+    build_phases: dict[str, float] = {}
     timed("q_index_build", lambda: build_index(
         corpus, idx_dir, docs_per_shard=dps, term_buckets=4,
+        timings=build_phases,
     ))
     extra["files_per_sec"] = round(n_corpus / timings["q_index_build"], 1)
+    extra["build_phase_seconds"] = build_phases
 
     # metadata-only variant: docs table carries NO content; phase A joins the
     # immutable staged input by natural key instead (the 100 TB storage knob)
     idx_meta = os.path.dirname(idx_dir) + "/index_meta"
     corpus_meta = assign_doc_ids_scalable(spark.read.parquet(stage_root + "/corpus"))
+    metaonly_phases: dict[str, float] = {}
     timed("q_build_metaonly", lambda: build_index(
         corpus_meta, idx_meta, docs_per_shard=dps, term_buckets=4,
         content_source=spark.read.parquet(stage_root + "/corpus"),
+        timings=metaonly_phases,
     ))
+    extra["metaonly_phase_seconds"] = metaonly_phases
     extra["files_per_sec_metaonly"] = round(
         n_corpus / timings["q_build_metaonly"], 1
     )

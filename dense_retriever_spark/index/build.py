@@ -114,22 +114,31 @@ def assign_doc_ids_scalable(corpus: DataFrame, partitions: int = 0) -> DataFrame
     for row in sorted(counts, key=lambda r: r["pid"]):
         offsets[row["pid"]] = acc
         acc += row["count"]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # offsets ride as a broadcast-joined (pid, offset) relation, NOT an
+    # F.create_map literal: a literal map puts 2P entries in the plan
+    # expression tree, which at 10^5+ input partitions is megabytes of plan
+    # the driver analyzes/serializes per build (round-4 verdict). The join
+    # is on the already-materialized pid column, small side broadcast.
+    off_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(int(pid), int(off)) for pid, off in offsets.items()],
+            "pid int, _pid_offset long",
+        )
     )
 
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("pid").orderBy(*keys)
     out = (
-        arranged.withColumn(
+        arranged.join(off_df, "pid")
+        .withColumn(
             "doc_id",
-            (off_map[F.col("pid")] + F.row_number().over(w) - F.lit(1)).cast(
+            (F.col("_pid_offset") + F.row_number().over(w) - F.lit(1)).cast(
                 "long"
             ),
         )
         .withColumn("content_sha", F.sha2(F.col("content"), 256))
-        .drop("pid")
+        .drop("pid", "_pid_offset")
     )
     # hand the persist HANDLE to callers: unpersist() must target the exact
     # DataFrame that was persisted (calling it on this derived plan is a
