@@ -54,6 +54,60 @@ def stream_tokenize_corpus(
     q.awaitTermination()
 
 
+def drain_corpus_stream(
+    spark: SparkSession,
+    input_dir: str,
+    staging_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Drain newly-arrived raw corpus files into the staging table and
+    return THIS drain's rows as one batch — the shape
+    ``pipeline.refresh_rounds`` takes per refresh round.
+
+    This is the streamed front door of the refresh loop (reference analog:
+    the re-read at the top of each refresh round,
+    /root/reference/dense_retriever/pipeline_steps/training.py:49-63 — there
+    a full batch re-read, here an incremental file-source drain): files
+    landing in ``input_dir`` between rounds are picked up exactly once by
+    the stream checkpoint; each micro-batch is appended to ``staging_dir``
+    tagged with its monotone stream batch id, and the rows this drain added
+    (batch id ≥ this drain's first) are returned for refresh_rounds to
+    dedup/assign-ids/index.
+
+    Delivery is at-least-once at the sink (foreachBatch parquet append can
+    replay a batch on task retry); the refresh loop's ``dedup_exact``
+    content-sha anti-join makes the corpus exactly-once downstream — run
+    refresh_rounds(dedup_exact=True) over streamed batches.
+    """
+    drained: list[int] = []
+
+    def _sink(bdf: DataFrame, batch_id: int) -> None:
+        bdf.withColumn(
+            "_stream_batch", F.lit(int(batch_id))
+        ).write.mode("append").parquet(staging_dir)
+        drained.append(int(batch_id))
+
+    q = (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not drained:
+        return spark.createDataFrame([], CORPUS_SCHEMA)
+    # batch ids are monotone across restarts from one checkpoint, so this
+    # drain's rows are exactly those tagged >= its first batch id
+    return (
+        spark.read.parquet(staging_dir)
+        .filter(F.col("_stream_batch") >= min(drained))
+        .drop("_stream_batch")
+    )
+
+
 def stateful_user_sessions(
     event_stream: DataFrame,
     gap_seconds: int = 1800,

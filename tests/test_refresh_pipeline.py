@@ -246,3 +246,66 @@ def test_near_dup_kill_list_extra_pairs(spark):
     extra = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
     kill = near_dup_kill_list(docs, extra_pairs=extra)
     assert sorted(r["doc_id"] for r in kill.collect()) == [3, 5]  # 0 survives
+
+
+def test_streamed_ingest_feeds_refresh_round(spark, tmp_path):
+    """Round-4 verdict item 7: streamed-in docs must appear in search
+    results after one refresh round with exact-dedup applied. The stream
+    checkpoint makes each file drain once; dedup_exact makes replayed /
+    re-crawled CONTENT land once."""
+    from dense_retriever_spark.corpus import synth_corpus, synth_queries
+    from dense_retriever_spark.index.search import search
+    from dense_retriever_spark.pipeline import refresh_rounds
+    from dense_retriever_spark.schemas import CORPUS_SCHEMA
+    from dense_retriever_spark.streaming.refresh import drain_corpus_stream
+
+    in_dir = str(tmp_path / "arrivals")
+    staging = str(tmp_path / "staging")
+    ckpt = str(tmp_path / "ckpt")
+    workdir = str(tmp_path / "work")
+
+    # arrival 1: 80 docs land
+    synth_corpus(spark, 80, seed=1).write.mode("append").parquet(in_dir)
+    batch1 = drain_corpus_stream(spark, in_dir, staging, ckpt)
+    assert batch1.count() == 80
+
+    # arrival 2: 40 re-crawls (same content as the first 40) + 3 new docs
+    # carrying a term that exists nowhere else in the corpus
+    synth_corpus(spark, 40, seed=1).write.mode("append").parquet(in_dir)
+    fresh = spark.createDataFrame(
+        [("streamrepo", f"pkg/m{i}.py", "c0", "py",
+          f"def zzstreamfn_{i}(): return zzstreamterm + {i}")
+         for i in range(3)],
+        CORPUS_SCHEMA,
+    )
+    fresh.write.mode("append").parquet(in_dir)
+    batch2 = drain_corpus_stream(spark, in_dir, staging, ckpt)
+    # only files that arrived since the last drain are read again
+    assert batch2.count() == 43
+
+    queries = synth_queries(spark, 5).selectExpr(
+        "query_id as qid", "query as text"
+    )
+    qrels = queries.select("qid", (F.col("qid") * 3 % 80).alias("doc_id"))
+    rounds = refresh_rounds(
+        spark, [batch1, batch2], queries, qrels, workdir, k=5,
+        docs_per_shard=64, dedup_exact=True,
+    )
+    assert rounds[0]["n_docs"] == 80
+    assert rounds[1]["n_docs"] == 83  # 40 re-crawls dropped, 3 fresh kept
+
+    # the streamed-in docs are searchable in the refreshed index
+    probe = spark.createDataFrame(
+        [(1, "zzstreamterm")], "query_id long, query string"
+    )
+    hits = search(
+        spark, os.path.join(workdir, "index"), probe, k=10
+    ).collect()
+    assert len(hits) == 3
+    got_ids = {r["doc_id"] for r in hits}
+    corpus = spark.read.parquet(f"{workdir}/corpus")
+    want_ids = {
+        r["doc_id"]
+        for r in corpus.filter(F.col("repo") == "streamrepo").collect()
+    }
+    assert got_ids == want_ids
