@@ -404,7 +404,6 @@ QUERIES5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 def _oracles5() -> dict[str, str]:
-    from dense_retriever_spark.contract4 import _q31_sql
     from dense_retriever_spark.contract4 import Q36_SQL
 
     return {
