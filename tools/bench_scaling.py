@@ -163,8 +163,13 @@ def write_report(n_docs, n_queries, r1, r2, dps) -> dict:
             "(no same-day control found — run tools/bench_ceiling.py; "
             "round-1 historical: 0.83 for 2->8, 0.70 for 4->16)"
         )
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH baseline — scaling evidence ({stamp})
+    # write to a per-run file — BENCH/BASELINE.md is CURATED (it carries
+    # multi-session variance history, ANN recall tables, search-plane
+    # scaling); an unconditional overwrite from this tool silently destroys
+    # those sections (it did, round 5). Merge numbers into BASELINE.md by
+    # hand from this file.
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
+        f.write(f"""# Paired scaling session ({stamp})
 
 Same deterministic staged input table (synth corpus, seed=42, {n_docs} files,
 docs_per_shard={dps}; {n_queries} queries, k=10) run at two parallelism levels
@@ -250,7 +255,7 @@ def main() -> None:
     r2 = run(n_cores * 4, path, n_docs, n_queries, dps)
     report = write_report(n_docs, n_queries, r1, r2, dps)
     print(json.dumps(report, indent=2))
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/scaling_latest.md")
 
 
 if __name__ == "__main__":
