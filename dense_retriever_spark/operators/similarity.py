@@ -235,10 +235,12 @@ def srp_ann_topk(
     candidate set only. The equi-join on (band_id, band_key) replaces the
     cross join — per band the expected candidate fraction is the bucket
     collision mass, and the OR over bands sets the recall/candidate tradeoff
-    (P[candidate] = 1-(1-p^w)^bands with p = 1-θ/π per SRP). On this repo's
-    weakly-clustered synthetic embeddings 64×16 measures recall@3 ≈ 0.91 vs
-    the bruteforce oracle (tests/test_similarity.py); strongly-clustered real
-    embeddings prune far harder at the same recall. Replaces the round-1
+    (P[candidate] = 1-(1-p^w)^bands with p = 1-θ/π per SRP). Measured at
+    200k vectors (tools/bench_ann_recall.py, BENCH/ann_recall_sigma*.json):
+    the 64×16 default recalls 0.961 on weakly-clustered data and 1.000 on
+    clustered data @k=10; bits-per-band (planes/bands) is the governing
+    knob — 8 bits prunes too hard (0.26-0.76), 2 bits degenerates toward
+    all-pairs, 4 bits is the sweet spot. Replaces the round-1
     placeholder ('first 4 dims > 0', single band, unquantified recall).
     """
     planes = srp_planes(dim, n_planes, seed)
@@ -419,13 +421,15 @@ def ivf_ann_topk(
     DESC, id ASC) tie-break, so cell assignment is deterministic
     cross-engine.
 
-    Honest scale note (measured, tests/test_dedup_similarity.py): on this
-    repo's weakly-clustered synthetic embeddings IVF recalls ≈ 0.7+ @ k=3
-    while scanning ≈ half the corpus — the data has little cluster
-    structure for the quantizer to exploit, and the SRP multi-band operator
-    (srp_ann_topk, recall ≈ 0.91) is the better scale path HERE. On real
-    embedding distributions (tight semantic clusters) the cell scan shrinks
-    toward n/K per probe and IVF dominates — same plumbing either way.
+    Honest scale note, quantified at 200k vectors
+    (tools/bench_ann_recall.py, BENCH/ann_recall_sigma*.json): on
+    weakly-clustered data no coarse quantizer works (recall ≤ 0.65 even at
+    nprobe=32 — neighbors spread across cells) and srp_ann_topk (0.961 at
+    its default) is the right tool. On CLUSTERED data — the real-embedding
+    regime — the kmeans quantizer reaches recall 1.0 at nprobe=1 (~10x the
+    brute-force throughput at that shape, widening with N since probed work
+    is ~nprobe/K of the corpus); hash-sampled centroids need nprobe=4.
+    Same plumbing either way.
     """
     cents = F.broadcast(
         centroids
