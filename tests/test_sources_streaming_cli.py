@@ -277,3 +277,52 @@ def test_cli_ann_index_end_to_end(spark, tmp_path):
         emb, qv, k=3, n_centroids=8, nprobe=4
     ).collect()))
     assert got == want and len(got) > 0
+
+
+def test_spark_submit_py_files_package(tmp_path):
+    """North-rule execution mode: package the engine (tools/package.py) and
+    run a real `spark-submit --py-files engine.zip` job in a fresh process
+    from a DIFFERENT cwd — the engine must import from the zip alone and
+    build+search end-to-end. Closes the 'archive sink untested' gap (S14)."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = str(tmp_path / "engine.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "package.py"), zip_path],
+        check=True, cwd=repo,
+    )
+    driver = tmp_path / "job.py"
+    driver.write_text(
+        "import json\n"
+        "from dense_retriever_spark.session import get_spark\n"
+        "from dense_retriever_spark.corpus import synth_corpus, ingest, "
+        "synth_queries\n"
+        "from dense_retriever_spark.index.build import build_index\n"
+        "from dense_retriever_spark.index.search import search\n"
+        "spark = get_spark(master='local[2]', shuffle_partitions=2)\n"
+        "import sys\n"
+        "idx = sys.argv[1]\n"
+        "build_index(ingest(synth_corpus(spark, 80)), idx,\n"
+        "            docs_per_shard=64, term_buckets=2)\n"
+        "n = search(spark, idx, synth_queries(spark, 5), k=3).count()\n"
+        "print('SUBMIT_RESULT', json.dumps({'rows': n}))\n"
+        "spark.stop()\n"
+    )
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [spark_submit, "--master", "local[2]", "--py-files", zip_path,
+         str(driver), str(tmp_path / "sub_idx")],
+        capture_output=True, text=True, timeout=420,
+        cwd=str(tmp_path), env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if "SUBMIT_RESULT" in l]
+    assert line, out.stdout[-2000:]
+    import json as _json
+
+    assert _json.loads(line[0].split("SUBMIT_RESULT ", 1)[1])["rows"] == 15
