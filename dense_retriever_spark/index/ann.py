@@ -187,6 +187,11 @@ def search_ann_index(
     from dense_retriever_spark.operators.similarity import cosine_expr
     from dense_retriever_spark.operators.topk import topk_per_group
 
+    if query_mode not in ("auto", "broadcast", "shuffle"):
+        # validate BEFORE any job runs: failing after the probe relation is
+        # persisted would leak its cached blocks (no unpersist on the error
+        # path)
+        raise ValueError(f"unknown query_mode {query_mode!r}")
     load_ann_meta(index_dir, spark)
     paths = AnnIndexPaths(index_dir)
     cents = F.broadcast(spark.read.parquet(paths.centroids))
@@ -207,29 +212,28 @@ def search_ann_index(
         q_scored, "query_vec_id", "cdot", nprobe, id_col="centroid_id"
     ).select("query_vec_id", "qvec", "centroid_id").persist()
 
-    # bounded collect: at most K distinct cell ids regardless of |Q|
-    probed = [
-        r["centroid_id"]
-        for r in probes.select("centroid_id").distinct().collect()
-    ]
+    # ONE bounded job (≤ K result rows regardless of |Q|) yields both the
+    # probed cell ids for partition pruning AND the probe-row total for the
+    # auto-mode decision — and materializes the probes cache as a side
+    # effect
+    cell_counts = probes.groupBy("centroid_id").count().collect()
+    probed = [r["centroid_id"] for r in cell_counts]
     cells = spark.read.parquet(paths.cells).filter(
         F.col("centroid_id").isin(probed)
     )
     if query_mode == "auto":
-        n_probes = probes.count()  # served from the cache just built
+        n_probes = sum(r["count"] for r in cell_counts)
         query_mode = (
             "broadcast" if n_probes <= ANN_PROBE_BROADCAST_LIMIT
             else "shuffle"
         )
     if query_mode == "broadcast":
         cand = cells.join(F.broadcast(probes), "centroid_id")
-    elif query_mode == "shuffle":
+    else:
         # cells/ is partitioned by centroid_id on disk; AQE may still elect
         # a runtime broadcast if the probe side turns out tiny — the point
         # is only that nothing FORCES a |Q|-growing broadcast
         cand = cells.join(probes, "centroid_id")
-    else:
-        raise ValueError(f"unknown query_mode {query_mode!r}")
     if exclude_self:
         cand = cand.filter(F.col("query_vec_id") != F.col("vec_id"))
     # no dedup needed: cell assignment is top-1 (build_ann_index), so each

@@ -194,7 +194,18 @@ def refresh_rounds(
     )
 
     rounds: list[dict] = []
+    # seed the id watermark from an EXISTING corpus: re-invoking
+    # refresh_rounds on a workdir from a prior run (e.g. new batches arrived
+    # via drain_corpus_stream's restartable checkpoint) must continue the id
+    # sequence, not restart at 0 — round 0's append would otherwise assign
+    # doc ids that collide with (or, post-compaction, reuse) existing ones
     n_total = 0
+    if os.path.exists(corpus_path):
+        row0 = spark.read.parquet(corpus_path).agg(
+            F.max("doc_id").alias("m")
+        ).collect()[0]
+        if row0["m"] is not None:
+            n_total = int(row0["m"]) + 1
     for rnd, batch in enumerate(corpus_batches):
         if dedup_exact:
             sha = F.sha2(F.col("content"), 256)
@@ -208,8 +219,10 @@ def refresh_rounds(
                 )
                 .select("_sha", "r.*")
             )
-            if rnd > 0:
-                # cross-round: drop shas already in the corpus; materialize
+            if os.path.exists(corpus_path):
+                # cross-round: drop shas already in the corpus (including a
+                # corpus left by a PRIOR refresh_rounds invocation on this
+                # workdir — hence path-existence, not rnd > 0); materialize
                 # (localCheckpoint) so the append below doesn't write a path
                 # its own lineage is reading
                 seen = spark.read.parquet(corpus_path).select(

@@ -54,6 +54,46 @@ def stream_tokenize_corpus(
     q.awaitTermination()
 
 
+def _consumed_marker_path(staging_dir: str) -> str:
+    import os
+
+    return os.path.join(staging_dir, "_consumed.json")
+
+
+def _read_consumed(spark: SparkSession, staging_dir: str) -> int:
+    import json
+
+    from dense_retriever_spark.index import fs
+
+    p = _consumed_marker_path(staging_dir)
+    if not fs.exists(p, spark):
+        return -1
+    return int(json.loads(fs.read_text(p, spark))["consumed_through"])
+
+
+def ack_corpus_batch(spark: SparkSession, staging_dir: str, batch: DataFrame) -> None:
+    """Acknowledge a ``drain_corpus_stream`` batch AFTER the refresh round
+    that ingested it has committed: advances the durable consumed-through
+    marker so the next drain stops re-returning those rows. Accepts the
+    exact DataFrame the drain returned (it carries the drain's upper batch
+    id)."""
+    import json
+
+    from dense_retriever_spark.index import fs
+
+    hi = getattr(batch, "_stream_hi", None)
+    if hi is None:
+        raise ValueError(
+            "ack_corpus_batch needs the DataFrame returned by "
+            "drain_corpus_stream (it carries the drain's batch-id bound)"
+        )
+    fs.write_text(
+        _consumed_marker_path(staging_dir),
+        json.dumps({"consumed_through": int(hi)}),
+        spark,
+    )
+
+
 def drain_corpus_stream(
     spark: SparkSession,
     input_dir: str,
@@ -61,22 +101,28 @@ def drain_corpus_stream(
     checkpoint_dir: str,
 ) -> DataFrame:
     """Drain newly-arrived raw corpus files into the staging table and
-    return THIS drain's rows as one batch — the shape
-    ``pipeline.refresh_rounds`` takes per refresh round.
+    return every staged-but-unacknowledged row as one batch — the shape
+    ``pipeline.refresh_rounds`` takes per refresh round. Call
+    ``ack_corpus_batch`` after the round commits.
 
     This is the streamed front door of the refresh loop (reference analog:
     the re-read at the top of each refresh round,
     /root/reference/dense_retriever/pipeline_steps/training.py:49-63 — there
     a full batch re-read, here an incremental file-source drain): files
-    landing in ``input_dir`` between rounds are picked up exactly once by
-    the stream checkpoint; each micro-batch is appended to ``staging_dir``
-    tagged with its monotone stream batch id, and the rows this drain added
-    (batch id ≥ this drain's first) are returned for refresh_rounds to
-    dedup/assign-ids/index.
+    landing in ``input_dir`` between rounds are read exactly once by the
+    stream checkpoint; each micro-batch is appended to ``staging_dir``
+    tagged with its monotone stream batch id.
 
-    Delivery is at-least-once at the sink (foreachBatch parquet append can
-    replay a batch on task retry); the refresh loop's ``dedup_exact``
-    content-sha anti-join makes the corpus exactly-once downstream — run
+    Delivery to the caller is AT-LEAST-ONCE by construction: the batch is
+    bounded by (consumed-through marker, this drain's max batch id] — an
+    explicit window, so (a) a drain that crashed after committing some
+    micro-batches loses nothing (the next drain's window still starts at
+    the durable marker, covering the orphaned batches), and (b) rows a
+    LATER drain appends can never leak into an earlier batch's lazy plan
+    (the upper bound is pinned, not left open to file re-listing). Replays
+    within the window (foreachBatch parquet append on task retry, or a
+    round that crashed before ack) are deduplicated downstream by the
+    refresh loop's ``dedup_exact`` content-sha anti-join — run
     refresh_rounds(dedup_exact=True) over streamed batches.
     """
     drained: list[int] = []
@@ -97,15 +143,38 @@ def drain_corpus_stream(
         .start()
     )
     q.awaitTermination()
-    if not drained:
-        return spark.createDataFrame([], CORPUS_SCHEMA)
-    # batch ids are monotone across restarts from one checkpoint, so this
-    # drain's rows are exactly those tagged >= its first batch id
-    return (
+
+    from dense_retriever_spark.index import fs
+
+    lo = _read_consumed(spark, staging_dir)
+    if drained:
+        hi = max(drained)
+    elif fs.exists(staging_dir, spark):
+        # no new files this drain, but a previous drain may have staged
+        # rows that were never acknowledged (crash before/without ack) —
+        # surface them instead of silently dropping them
+        row = (
+            spark.read.parquet(staging_dir)
+            .agg(F.max("_stream_batch").alias("m"))
+            .collect()[0]
+        )
+        hi = int(row["m"]) if row["m"] is not None else lo
+    else:
+        hi = lo
+    if hi <= lo:
+        out = spark.createDataFrame([], CORPUS_SCHEMA)
+        out._stream_hi = lo
+        return out
+    out = (
         spark.read.parquet(staging_dir)
-        .filter(F.col("_stream_batch") >= min(drained))
+        .filter(
+            (F.col("_stream_batch") > F.lit(lo))
+            & (F.col("_stream_batch") <= F.lit(hi))
+        )
         .drop("_stream_batch")
     )
+    out._stream_hi = hi
+    return out
 
 
 def stateful_user_sessions(

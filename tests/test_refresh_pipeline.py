@@ -257,7 +257,10 @@ def test_streamed_ingest_feeds_refresh_round(spark, tmp_path):
     from dense_retriever_spark.index.search import search
     from dense_retriever_spark.pipeline import refresh_rounds
     from dense_retriever_spark.schemas import CORPUS_SCHEMA
-    from dense_retriever_spark.streaming.refresh import drain_corpus_stream
+    from dense_retriever_spark.streaming.refresh import (
+        ack_corpus_batch,
+        drain_corpus_stream,
+    )
 
     in_dir = str(tmp_path / "arrivals")
     staging = str(tmp_path / "staging")
@@ -268,6 +271,7 @@ def test_streamed_ingest_feeds_refresh_round(spark, tmp_path):
     synth_corpus(spark, 80, seed=1).write.mode("append").parquet(in_dir)
     batch1 = drain_corpus_stream(spark, in_dir, staging, ckpt)
     assert batch1.count() == 80
+    ack_corpus_batch(spark, staging, batch1)
 
     # arrival 2: 40 re-crawls (same content as the first 40) + 3 new docs
     # carrying a term that exists nowhere else in the corpus
@@ -280,8 +284,9 @@ def test_streamed_ingest_feeds_refresh_round(spark, tmp_path):
     )
     fresh.write.mode("append").parquet(in_dir)
     batch2 = drain_corpus_stream(spark, in_dir, staging, ckpt)
-    # only files that arrived since the last drain are read again
+    # only files that arrived since the acknowledged drain are returned
     assert batch2.count() == 43
+    ack_corpus_batch(spark, staging, batch2)
 
     queries = synth_queries(spark, 5).selectExpr(
         "query_id as qid", "query as text"
@@ -309,3 +314,64 @@ def test_streamed_ingest_feeds_refresh_round(spark, tmp_path):
         for r in corpus.filter(F.col("repo") == "streamrepo").collect()
     }
     assert got_ids == want_ids
+
+
+def test_drain_at_least_once_without_ack(spark, tmp_path):
+    """A drain whose consumer crashed before ack loses nothing: the next
+    drain re-returns the unacknowledged rows (bounded by its own max batch
+    id), and after ack a further drain returns empty."""
+    from dense_retriever_spark.corpus import synth_corpus
+    from dense_retriever_spark.streaming.refresh import (
+        ack_corpus_batch,
+        drain_corpus_stream,
+    )
+
+    in_dir = str(tmp_path / "arr")
+    staging = str(tmp_path / "stage")
+    ckpt = str(tmp_path / "ck")
+
+    synth_corpus(spark, 30, seed=3).write.mode("append").parquet(in_dir)
+    b1 = drain_corpus_stream(spark, in_dir, staging, ckpt)
+    assert b1.count() == 30
+    # consumer "crashes": no ack. New files arrive; the next drain must
+    # return BOTH the orphaned rows and the new ones.
+    synth_corpus(spark, 10, seed=4).write.mode("append").parquet(in_dir)
+    b2 = drain_corpus_stream(spark, in_dir, staging, ckpt)
+    assert b2.count() == 40
+    ack_corpus_batch(spark, staging, b2)
+    # nothing new, everything acked -> empty batch
+    b3 = drain_corpus_stream(spark, in_dir, staging, ckpt)
+    assert b3.count() == 0
+
+
+def test_refresh_reinvocation_continues_id_sequence(spark, tmp_path):
+    """Invoking refresh_rounds a SECOND time on the same workdir (new
+    batches arrived later, e.g. via the streamed front door) must continue
+    the doc-id sequence from the existing corpus — not restart at 0 and
+    collide — and must dedup round 0 against the existing corpus."""
+    from dense_retriever_spark.corpus import synth_corpus, synth_queries
+    from dense_retriever_spark.pipeline import refresh_rounds
+
+    workdir = str(tmp_path / "re_wd")
+    queries = synth_queries(spark, 4).selectExpr(
+        "query_id as qid", "query as text"
+    )
+    qrels = queries.select("qid", (F.col("qid") * 3 % 60).alias("doc_id"))
+
+    refresh_rounds(
+        spark, [synth_corpus(spark, 60, seed=21)], queries, qrels, workdir,
+        k=5, docs_per_shard=64, dedup_exact=True,
+    )
+    # second invocation: 20 re-crawls of run 1's docs + 30 new
+    b = synth_corpus(spark, 20, seed=21).unionByName(
+        synth_corpus(spark, 30, seed=22)
+    )
+    rounds = refresh_rounds(
+        spark, [b], queries, qrels, workdir, k=5, docs_per_shard=64,
+        dedup_exact=True,
+    )
+    assert rounds[0]["n_docs"] == 90  # 60 existing + 30 new, 20 dups dropped
+    corpus = spark.read.parquet(f"{workdir}/corpus")
+    ids = [r["doc_id"] for r in corpus.select("doc_id").collect()]
+    assert len(ids) == len(set(ids)) == 90
+    assert max(ids) == 89  # dense continuation, no restart at 0
