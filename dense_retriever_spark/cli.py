@@ -263,6 +263,44 @@ def cmd_refresh(args) -> None:
     print(json.dumps({"workdir": args.workdir, "rounds": rounds}))
 
 
+def cmd_stream_refresh(args) -> None:
+    """Streamed front door of the refresh loop: drain newly-arrived corpus
+    files (exactly-once per file via the stream checkpoint), run ONE refresh
+    round over the drained batch, and acknowledge it only after the round
+    committed — a crash mid-round re-delivers the batch next run, and the
+    round's exact-dedup drops the replayed content. Run from cron/Airflow
+    per arrival window; each run is one incremental round."""
+    spark = _spark(args)
+    from dense_retriever_spark.pipeline import refresh_rounds
+    from dense_retriever_spark.sources.readers import read_qrels, read_queries_tsv
+    from dense_retriever_spark.streaming.refresh import (
+        ack_corpus_batch,
+        drain_corpus_stream,
+    )
+
+    batch = drain_corpus_stream(
+        spark, args.input_dir, args.staging_dir, args.checkpoint_dir
+    )
+    n = batch.count()
+    if n == 0:
+        print(json.dumps({"workdir": args.workdir, "drained_rows": 0,
+                          "rounds": []}))
+        return
+    queries = read_queries_tsv(spark, args.queries)
+    qrels = read_qrels(spark, args.qrels)
+    rounds = refresh_rounds(
+        spark, [batch], queries, qrels, args.workdir,
+        k=args.top_n, docs_per_shard=args.docs_per_shard,
+        dedup_exact=True,  # required: makes the at-least-once drain exact
+        dedup_near=args.dedup_near,
+        compact_fraction=args.compact_fraction,
+        compact_min_ids=args.compact_min_ids,
+    )
+    ack_corpus_batch(spark, args.staging_dir, batch)
+    print(json.dumps({"workdir": args.workdir, "drained_rows": n,
+                      "rounds": rounds}))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="dense-retriever-spark")
     p.add_argument("--master", default=None)
@@ -390,6 +428,21 @@ def main(argv=None) -> None:
                     help="compact when the kill-list exceeds this absolute "
                          "size (the tombstone broadcast ceiling)")
     rf.set_defaults(fn=cmd_refresh)
+
+    sr = sub.add_parser("stream-refresh")
+    sr.add_argument("--input-dir", required=True,
+                    help="directory new corpus parquet files arrive in")
+    sr.add_argument("--staging-dir", required=True)
+    sr.add_argument("--checkpoint-dir", required=True)
+    sr.add_argument("--queries", required=True)
+    sr.add_argument("--qrels", required=True)
+    sr.add_argument("--workdir", required=True)
+    sr.add_argument("--top-n", type=int, default=10)
+    sr.add_argument("--docs-per-shard", type=int, default=1 << 14)
+    sr.add_argument("--dedup-near", action="store_true")
+    sr.add_argument("--compact-fraction", type=float, default=0.1)
+    sr.add_argument("--compact-min-ids", type=int, default=10_000_000)
+    sr.set_defaults(fn=cmd_stream_refresh)
 
     args = p.parse_args(argv)
     args.fn(args)

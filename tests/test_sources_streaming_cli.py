@@ -326,3 +326,46 @@ def test_spark_submit_py_files_package(tmp_path):
     import json as _json
 
     assert _json.loads(line[0].split("SUBMIT_RESULT ", 1)[1])["rows"] == 15
+
+
+def test_cli_stream_refresh(spark, tmp_path):
+    """stream-refresh = drain -> one refresh round -> ack, runnable per
+    arrival window. Second invocation with no new files is a cheap no-op;
+    a third after more files arrive indexes only the new content."""
+    import json as _json
+
+    from dense_retriever_spark import cli
+    from dense_retriever_spark.corpus import synth_corpus
+
+    in_dir = str(tmp_path / "in")
+    staging = str(tmp_path / "st")
+    ckpt = str(tmp_path / "ck")
+    workdir = str(tmp_path / "wd")
+    qpath = str(tmp_path / "q.tsv")
+    with open(qpath, "w") as f:
+        f.write("1\tdef import\n2\treturn class\n")
+    qrels_path = str(tmp_path / "qrels.txt")
+    with open(qrels_path, "w") as f:
+        f.write("1 0 5 1\n2 0 9 1\n")
+
+    base = ["stream-refresh", "--input-dir", in_dir, "--staging-dir", staging,
+            "--checkpoint-dir", ckpt, "--queries", qpath,
+            "--qrels", qrels_path, "--workdir", workdir,
+            "--top-n", "5", "--docs-per-shard", "64"]
+
+    synth_corpus(spark, 60, seed=31).write.mode("append").parquet(in_dir)
+    cli.main(base)
+    m0 = _json.load(open(f"{workdir}/metrics_round0.json"))
+    assert m0["n_docs"] == 60
+
+    # no new arrivals: no-op round (no metrics_round written for it)
+    cli.main(base)
+    assert not os.path.exists(f"{workdir}/metrics_round1.json")
+
+    # 20 re-crawls + 25 new docs arrive -> next run indexes only the 25
+    synth_corpus(spark, 20, seed=31).write.mode("append").parquet(in_dir)
+    synth_corpus(spark, 25, seed=32).write.mode("append").parquet(in_dir)
+    cli.main(base)
+    corpus = spark.read.parquet(f"{workdir}/corpus")
+    assert corpus.count() == 85
+    assert corpus.select("doc_id").distinct().count() == 85
