@@ -204,7 +204,9 @@ def _term_pruned(
     a broadcast relation beats compiling a megabyte IN expression)."""
     if len(terms) <= TERM_ISIN_LIMIT:
         return df.filter(F.col("term").isin(terms))
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    # pandas → Arrow batch conversion: a 500k-row python-list
+    # createDataFrame would pickle row-by-row through py4j
+    tdf = spark.createDataFrame(pd.DataFrame({"term": terms}))
     return df.join(F.broadcast(tdf), "term", "left_semi")
 
 
