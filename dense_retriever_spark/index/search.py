@@ -65,12 +65,16 @@ QUERY_BROADCAST_LIMIT = 100_000
 TERM_FILTER_LIMIT = 1_000_000
 
 #: the broadcast plane prunes its index scans by query term with an
-#: IN-literal (parquet pushdown — row groups skip at file level) only up to
-#: this many distinct terms; past it, the literal itself is the problem (a
-#: 500k-term IN at the 100k-query broadcast cap is a megabyte-scale plan the
-#: driver must compile per search — round-4 verdict) and the filter becomes
-#: a broadcast left-semi join, the same shape the distributed plane uses.
-TERM_ISIN_LIMIT = 4_096
+#: IN-literal (parquet pushdown — row-group stats skip I/O) only up to this
+#: many distinct terms; past it the filter becomes a broadcast left-semi
+#: join, the same shape the distributed plane uses. MEASURED (BENCH/
+#: BASELINE.md round 5): IN cost grows ~linearly in |terms| (compiled and
+#: evaluated per task) — 0.78 s at 1k terms, 5.5 s at 8k, 332 s at 524k —
+#: while the semi-join stays ~0.3-2.2 s flat; the crossover is a few
+#: hundred terms. 512 keeps the IN (and its row-group pruning, which the
+#: microbench's tiny scan undervalues) for genuinely small interactive
+#: sets only.
+TERM_ISIN_LIMIT = 512
 
 #: warn when a tombstone list crosses the documented broadcast ceiling —
 #: past this, compaction (build.compact_index / the `compact` CLI) is the
