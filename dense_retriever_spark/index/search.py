@@ -76,6 +76,18 @@ TERM_FILTER_LIMIT = 1_000_000
 #: sets only.
 TERM_ISIN_LIMIT = 512
 
+#: driver-side (index-build, term) → df cache for the broadcast plane: the
+#: reference loads its index once and serves every query from it; the Spark
+#: analog is amortizing the global-stats lookup job across searches against
+#: the same build. Keyed on the index's FULL stats.json content — which
+#:  embeds per-build phase timings, so any rebuild/compaction produces a new
+#: key and stale df values can never be served. OOV terms are cached as -1
+#: (a miss that re-ran the job every call would defeat the cache). Bounded:
+#: past _TERM_DF_CACHE_MAX total terms the cache resets (document-scale
+#: vocabularies don't fit on the driver; observed QUERY vocabulary does).
+_TERM_DF_CACHE: dict[str, dict[str, float]] = {}
+_TERM_DF_CACHE_MAX = 2_000_000
+
 #: warn when a tombstone list crosses the documented broadcast ceiling —
 #: past this, compaction (build.compact_index / the `compact` CLI) is the
 #: intended operation, not a bigger broadcast.
@@ -371,13 +383,33 @@ def _search_broadcast(
         return spark.createDataFrame([], RESULT_SCHEMA)
 
     # 2. global term stats → idf (term-pruned scan on global/; the collect
-    # is bounded by the query-term set, which the driver already holds)
-    gstats = (
-        _term_pruned(spark.read.parquet(paths.global_dir), all_terms, spark)
-        .select("term", "df")
-        .collect()
+    # is bounded by the query-term set, which the driver already holds).
+    # Per-build term→df cache: repeated vocabulary (interactive sessions,
+    # the bench's tombstoned/filtered re-searches, the refresh loop's fixed
+    # query set) skips this Spark job entirely after the first search.
+    cache_key = json.dumps(
+        {"dir": index_dir, "stats": stats}, sort_keys=True
     )
-    idfs = {r["term"]: idf_fn(float(r["df"]), float(n_docs)) for r in gstats}
+    if cache_key not in _TERM_DF_CACHE and len(_TERM_DF_CACHE) >= 8:
+        _TERM_DF_CACHE.clear()  # bound the number of live index builds
+    dfs = _TERM_DF_CACHE.setdefault(cache_key, {})
+    missing = [t for t in all_terms if t not in dfs]
+    if missing:
+        gstats = (
+            _term_pruned(spark.read.parquet(paths.global_dir), missing, spark)
+            .select("term", "df")
+            .collect()
+        )
+        found = {r["term"]: float(r["df"]) for r in gstats}
+        for t in missing:
+            dfs[t] = found.get(t, -1.0)  # -1 = OOV, cached too
+        if len(dfs) > _TERM_DF_CACHE_MAX:
+            keep = {t: dfs[t] for t in all_terms}
+            dfs.clear()
+            dfs.update(keep)
+    idfs = {
+        t: idf_fn(dfs[t], float(n_docs)) for t in all_terms if dfs[t] >= 0.0
+    }
     present = [t for t in all_terms if t in idfs]
     if not present:
         return spark.createDataFrame([], RESULT_SCHEMA)

@@ -106,3 +106,41 @@ def test_tombstone_ceiling_warns(spark, idx, tiny_corpus, tiny_queries, monkeypa
     kill = tiny_corpus.filter(F.col("doc_id") % 3 == 0).select("doc_id")
     with pytest.warns(RuntimeWarning, match="compaction"):
         search(spark, idx, tiny_queries, k=10, exclude_doc_ids=kill)
+
+
+def test_term_df_cache_amortizes_stats_job(spark, tmp_path):
+    """Broadcast plane: the second search against the same build must (a)
+    return bit-identical results and (b) run one fewer Spark job (the
+    global-stats lookup is served from the per-build term→df cache, keyed
+    on stats.json content so a rebuild invalidates it)."""
+    import dense_retriever_spark.index.search as search_mod
+    from dense_retriever_spark.corpus import ingest, synth_corpus, synth_queries
+    from dense_retriever_spark.index.build import build_index
+    from dense_retriever_spark.index.search import search
+
+    d = str(tmp_path / "cache_idx")
+    build_index(ingest(synth_corpus(spark, 150)), d, docs_per_shard=64,
+                term_buckets=2)
+    qs = synth_queries(spark, 8)
+    search_mod._TERM_DF_CACHE.clear()
+    tracker = spark.sparkContext.statusTracker()
+
+    n0 = len(tracker.getJobIdsForGroup(None))
+    cold = sorted(map(tuple, search(spark, d, qs, k=5).collect()))
+    n1 = len(tracker.getJobIdsForGroup(None))
+    warm = sorted(map(tuple, search(spark, d, qs, k=5).collect()))
+    n2 = len(tracker.getJobIdsForGroup(None))
+    assert warm == cold and len(cold) > 0
+    assert (n2 - n1) < (n1 - n0), (n1 - n0, n2 - n1)
+
+    # rebuild → new stats.json (phase timings differ) → cache key changes,
+    # the stats job runs again (no stale df served across builds)
+    build_index(ingest(synth_corpus(spark, 150)), str(tmp_path / "idx2"),
+                docs_per_shard=64, term_buckets=2)
+    n3 = len(tracker.getJobIdsForGroup(None))
+    again = sorted(map(tuple, search(
+        spark, str(tmp_path / "idx2"), qs, k=5
+    ).collect()))
+    n4 = len(tracker.getJobIdsForGroup(None))
+    assert again == cold  # same corpus content → same results
+    assert (n4 - n3) > (n2 - n1)  # cold job count again: cache not reused
