@@ -26,6 +26,7 @@ engine.zip -m dense_retriever_spark.cli <cmd> ...`` (or python -m locally).
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 
@@ -283,11 +284,26 @@ def cmd_stream_refresh(args) -> None:
     )
     n = batch.count()
     if n == 0:
+        # ack the (empty) window too: without it an empty staged micro-batch
+        # would re-open the same window and re-scan the staging table on
+        # every subsequent run until real data arrived
+        ack_corpus_batch(spark, args.staging_dir, batch)
         print(json.dumps({"workdir": args.workdir, "drained_rows": 0,
                           "rounds": []}))
         return
     queries = read_queries_tsv(spark, args.queries)
     qrels = read_qrels(spark, args.qrels)
+    # continue the round numbering from what is already on disk, so each
+    # arrival window accumulates its own negatives_round{i} /
+    # train_set_round{i} / metrics_round{i}.json (and a fresh negative-
+    # mining seed) instead of overwriting round 0 every run
+    import glob as _glob
+
+    prior = _glob.glob(os.path.join(args.workdir, "metrics_round*.json"))
+    start = 1 + max(
+        (int(p.rsplit("metrics_round", 1)[1].split(".")[0]) for p in prior),
+        default=-1,
+    )
     rounds = refresh_rounds(
         spark, [batch], queries, qrels, args.workdir,
         k=args.top_n, docs_per_shard=args.docs_per_shard,
@@ -295,6 +311,7 @@ def cmd_stream_refresh(args) -> None:
         dedup_near=args.dedup_near,
         compact_fraction=args.compact_fraction,
         compact_min_ids=args.compact_min_ids,
+        start_round=start,
     )
     ack_corpus_batch(spark, args.staging_dir, batch)
     print(json.dumps({"workdir": args.workdir, "drained_rows": n,

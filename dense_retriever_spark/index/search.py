@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import warnings
 
 import numpy as np
@@ -80,13 +81,17 @@ TERM_ISIN_LIMIT = 512
 #: reference loads its index once and serves every query from it; the Spark
 #: analog is amortizing the global-stats lookup job across searches against
 #: the same build. Keyed on the index's FULL stats.json content — which
-#:  embeds per-build phase timings, so any rebuild/compaction produces a new
+#: embeds per-build phase timings, so any rebuild/compaction produces a new
 #: key and stale df values can never be served. OOV terms are cached as -1
-#: (a miss that re-ran the job every call would defeat the cache). Bounded:
-#: past _TERM_DF_CACHE_MAX total terms the cache resets (document-scale
-#: vocabularies don't fit on the driver; observed QUERY vocabulary does).
+#: (a miss that re-ran the job every call would defeat the cache). Bounds:
+#: ≤ 8 live builds × ≤ _TERM_DF_CACHE_MAX terms per build (so worst case is
+#: 8× the per-build cap — document-scale vocabularies don't fit on the
+#: driver; observed QUERY vocabulary does). Guarded by _TERM_DF_LOCK:
+#: concurrent driver threads may at worst double-run the stats job, never
+#: read a half-trimmed dict.
 _TERM_DF_CACHE: dict[str, dict[str, float]] = {}
 _TERM_DF_CACHE_MAX = 2_000_000
+_TERM_DF_LOCK = threading.Lock()
 
 #: warn when a tombstone list crosses the documented broadcast ceiling —
 #: past this, compaction (build.compact_index / the `compact` CLI) is the
@@ -390,11 +395,15 @@ def _search_broadcast(
     cache_key = json.dumps(
         {"dir": index_dir, "stats": stats}, sort_keys=True
     )
-    if cache_key not in _TERM_DF_CACHE and len(_TERM_DF_CACHE) >= 8:
-        _TERM_DF_CACHE.clear()  # bound the number of live index builds
-    dfs = _TERM_DF_CACHE.setdefault(cache_key, {})
-    missing = [t for t in all_terms if t not in dfs]
+    with _TERM_DF_LOCK:
+        if cache_key not in _TERM_DF_CACHE and len(_TERM_DF_CACHE) >= 8:
+            _TERM_DF_CACHE.clear()  # bound the number of live index builds
+        dfs = _TERM_DF_CACHE.setdefault(cache_key, {})
+        vals = {t: dfs[t] for t in all_terms if t in dfs}
+    missing = [t for t in all_terms if t not in vals]
     if missing:
+        # the collect runs OUTSIDE the lock (concurrent threads may double-
+        # run the job for the same terms — benign; both write the same df)
         gstats = (
             _term_pruned(spark.read.parquet(paths.global_dir), missing, spark)
             .select("term", "df")
@@ -402,13 +411,15 @@ def _search_broadcast(
         )
         found = {r["term"]: float(r["df"]) for r in gstats}
         for t in missing:
-            dfs[t] = found.get(t, -1.0)  # -1 = OOV, cached too
-        if len(dfs) > _TERM_DF_CACHE_MAX:
-            keep = {t: dfs[t] for t in all_terms}
-            dfs.clear()
-            dfs.update(keep)
+            vals[t] = found.get(t, -1.0)  # -1 = OOV, cached too
+        with _TERM_DF_LOCK:
+            dfs.update({t: vals[t] for t in missing})
+            if len(dfs) > _TERM_DF_CACHE_MAX:
+                keep = {t: dfs[t] for t in all_terms if t in dfs}
+                dfs.clear()
+                dfs.update(keep)
     idfs = {
-        t: idf_fn(dfs[t], float(n_docs)) for t in all_terms if dfs[t] >= 0.0
+        t: idf_fn(v, float(n_docs)) for t, v in vals.items() if v >= 0.0
     }
     present = [t for t in all_terms if t in idfs]
     if not present:

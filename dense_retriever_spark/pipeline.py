@@ -134,8 +134,16 @@ def refresh_rounds(
     dedup_near: bool = False,
     compact_fraction: float = 0.1,
     compact_min_ids: int = 10_000_000,
+    start_round: int = 0,
 ) -> list[dict]:
     """Run one refresh round per corpus batch. Returns per-round metrics.
+
+    ``start_round``: index of the first round — continuation runs (a
+    scheduler invoking one round per arrival window, e.g. the
+    ``stream-refresh`` CLI) pass the number of rounds already on disk so
+    per-round artifacts (negatives_round{i}, train_set_round{i},
+    metrics_round{i}.json) accumulate instead of overwriting round 0, and
+    the round-seeded negative mining keeps advancing its seed.
 
     ``queries``: (qid, text); ``qrels``: (qid, doc_id) — the reference's
     query-sample inputs (cli/preprocessing.py:8-14). Each round writes
@@ -206,7 +214,7 @@ def refresh_rounds(
         ).collect()[0]
         if row0["m"] is not None:
             n_total = int(row0["m"]) + 1
-    for rnd, batch in enumerate(corpus_batches):
+    for rnd, batch in enumerate(corpus_batches, start=int(start_round)):
         if dedup_exact:
             sha = F.sha2(F.col("content"), 256)
             # within-batch: one deterministic representative per content

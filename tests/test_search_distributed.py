@@ -123,24 +123,37 @@ def test_term_df_cache_amortizes_stats_job(spark, tmp_path):
                 term_buckets=2)
     qs = synth_queries(spark, 8)
     search_mod._TERM_DF_CACHE.clear()
-    tracker = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
 
-    n0 = len(tracker.getJobIdsForGroup(None))
-    cold = sorted(map(tuple, search(spark, d, qs, k=5).collect()))
-    n1 = len(tracker.getJobIdsForGroup(None))
-    warm = sorted(map(tuple, search(spark, d, qs, k=5).collect()))
-    n2 = len(tracker.getJobIdsForGroup(None))
+    # count jobs via per-phase JOB GROUPS, not the global job list: the UI
+    # status store evicts old jobs past spark.ui.retainedJobs in long
+    # suite runs, which would silently undercount global-list deltas
+    def jobs_in(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return out, len(tracker.getJobIdsForGroup(group))
+
+    cold, j_cold = jobs_in(
+        "tdf_cold", lambda: sorted(map(tuple, search(spark, d, qs, k=5).collect()))
+    )
+    warm, j_warm = jobs_in(
+        "tdf_warm", lambda: sorted(map(tuple, search(spark, d, qs, k=5).collect()))
+    )
     assert warm == cold and len(cold) > 0
-    assert (n2 - n1) < (n1 - n0), (n1 - n0, n2 - n1)
+    assert j_warm < j_cold, (j_cold, j_warm)
 
     # rebuild → new stats.json (phase timings differ) → cache key changes,
     # the stats job runs again (no stale df served across builds)
     build_index(ingest(synth_corpus(spark, 150)), str(tmp_path / "idx2"),
                 docs_per_shard=64, term_buckets=2)
-    n3 = len(tracker.getJobIdsForGroup(None))
-    again = sorted(map(tuple, search(
-        spark, str(tmp_path / "idx2"), qs, k=5
-    ).collect()))
-    n4 = len(tracker.getJobIdsForGroup(None))
+    again, j_again = jobs_in(
+        "tdf_rebuilt", lambda: sorted(map(tuple, search(
+            spark, str(tmp_path / "idx2"), qs, k=5
+        ).collect()))
+    )
     assert again == cold  # same corpus content → same results
-    assert (n4 - n3) > (n2 - n1)  # cold job count again: cache not reused
+    assert j_again > j_warm  # cold job count again: cache not reused

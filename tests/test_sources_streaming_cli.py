@@ -362,10 +362,16 @@ def test_cli_stream_refresh(spark, tmp_path):
     cli.main(base)
     assert not os.path.exists(f"{workdir}/metrics_round1.json")
 
-    # 20 re-crawls + 25 new docs arrive -> next run indexes only the 25
+    # 20 re-crawls + 25 new docs arrive -> next run indexes only the 25,
+    # CONTINUING the round numbering (round-1 artifacts accumulate next to
+    # round 0's instead of overwriting them)
     synth_corpus(spark, 20, seed=31).write.mode("append").parquet(in_dir)
     synth_corpus(spark, 25, seed=32).write.mode("append").parquet(in_dir)
     cli.main(base)
     corpus = spark.read.parquet(f"{workdir}/corpus")
     assert corpus.count() == 85
     assert corpus.select("doc_id").distinct().count() == 85
+    m1 = _json.load(open(f"{workdir}/metrics_round1.json"))
+    assert m1["round"] == 1 and m1["n_docs"] == 85
+    assert os.path.exists(f"{workdir}/metrics_round0.json")  # not clobbered
+    assert os.path.exists(f"{workdir}/train_set_round1")
