@@ -207,6 +207,21 @@ def cmd_compact(args) -> None:
     print(json.dumps({"index": paths.root, "stats": load_stats(paths.root)}))
 
 
+def cmd_reshard(args) -> None:
+    """Adaptive shard coalescing: rebuild the index at a coarser (or finer)
+    docs_per_shard. build.should_reshard is the policy that decides when —
+    sparse doc-range shards after compactions, or a granularity outgrown by
+    corpus growth."""
+    spark = _spark(args)
+    from dense_retriever_spark.index.build import reshard_index
+    from dense_retriever_spark.index.search import load_stats
+
+    paths = reshard_index(
+        spark, args.index_dir, docs_per_shard=args.docs_per_shard,
+    )
+    print(json.dumps({"index": paths.root, "stats": load_stats(paths.root)}))
+
+
 def cmd_build_ann_index(args) -> None:
     spark = _spark(args)
     from dense_retriever_spark.index.ann import build_ann_index, load_ann_meta
@@ -400,6 +415,11 @@ def main(argv=None) -> None:
                     help="parquet with the tombstoned doc ids")
     cp.add_argument("--kill-col", default="doc_id")
     cp.set_defaults(fn=cmd_compact)
+
+    rs = sub.add_parser("reshard")
+    rs.add_argument("--index-dir", required=True)
+    rs.add_argument("--docs-per-shard", type=int, required=True)
+    rs.set_defaults(fn=cmd_reshard)
 
     ba = sub.add_parser("build-ann-index")
     ba.add_argument("--embeddings", required=True,

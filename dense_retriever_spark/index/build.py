@@ -645,6 +645,86 @@ def build_index(
     return paths
 
 
+def should_reshard(
+    stats: dict,
+    min_avg_shard_bytes: int = 4 << 20,
+    min_shards: int = 64,
+) -> bool:
+    """The adaptive shard-coalescing policy (north star: 'adaptive
+    coalescing of small posting shards'). Doc-range shards go SPARSE over
+    an index's life: compactions remove docs without reassigning ids, and
+    a docs_per_shard chosen for an early corpus size under-fills at 100×
+    growth's query fan-out. When the average shard's posting payload falls
+    below ``min_avg_shard_bytes`` (and the index is big enough for shard
+    count to matter), per-shard task overhead dominates the scan and the
+    index should be re-sharded coarser. Reads only the build's own
+    structured metrics — no extra Spark job."""
+    m = stats.get("metrics", {})
+    n_shards = int(stats.get("n_shards") or 0)
+    if n_shards < min_shards:
+        return False
+    avg = float(m.get("posting_bytes", 0)) / n_shards
+    return avg < min_avg_shard_bytes
+
+
+def reshard_index(
+    spark: SparkSession,
+    index_dir: str,
+    docs_per_shard: int,
+    shard_batch: int | None = None,
+    build_tag: str = "reshard",
+    content_source: DataFrame | None = None,
+) -> IndexPaths:
+    """Rebuild the index with a new shard granularity — the coalescing
+    operation ``should_reshard`` decides on.
+
+    Doc ids are KEPT (the docs table is re-staged verbatim); only the
+    doc-range→shard arithmetic changes, so search results are bit-identical
+    before and after (tested). The old manifest/shards/global are removed
+    first: a resumable build guards against mixed docs_per_shard state, and
+    no fingerprint can be reused across a granularity change anyway (every
+    shard's doc range moved). The docs table is staged to a sibling path on
+    the INDEX's filesystem (same reasoning as compact_index: executors
+    cannot see driver-local temp on a real cluster). Not crash-atomic: a
+    failure between the state delete and the rebuild leaves the staged docs
+    at ``_reshard_staging`` for a manual re-run — acceptable for a
+    maintenance operation that runs under a scheduler.
+    """
+    from dense_retriever_spark.index.search import load_stats
+
+    paths = IndexPaths(index_dir)
+    stats = load_stats(index_dir)  # format_version-checked
+    docs = spark.read.parquet(paths.docs).drop("shard")
+    if "content" not in docs.columns and content_source is None:
+        raise ValueError(
+            "this index has a METADATA-ONLY docs table (built with "
+            "content_source); resharding must re-read content — pass the "
+            "immutable input table as content_source"
+        )
+    staging = os.path.join(paths.root, "_reshard_staging")
+    try:
+        docs.write.mode("overwrite").parquet(staging)
+        # clear incompatible prior state (shards, manifest, global, stats,
+        # docs) — the rebuild below recreates all of it at the new dps
+        for stale in (paths.shards, paths.manifest, paths.global_dir,
+                      paths.docs, paths.stats):
+            fs.delete(stale, spark)
+        out = build_index(
+            spark.read.parquet(staging),
+            index_dir,
+            docs_per_shard=int(docs_per_shard),
+            term_buckets=int(stats["term_buckets"]),
+            shard_batch=shard_batch,
+            k1=float(stats["k1"]),
+            b=float(stats["b"]),
+            build_tag=build_tag,
+            content_source=content_source,
+        )
+    finally:
+        fs.delete(staging, spark)
+    return out
+
+
 def compact_index(
     spark: SparkSession,
     index_dir: str,

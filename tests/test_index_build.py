@@ -293,3 +293,42 @@ def test_index_on_scheme_qualified_uri(spark, tiny_corpus, tiny_queries, tmp_pat
     after = {r["doc_id"] for r in search(spark, d, tiny_queries, k=5).collect()}
     assert not any(i % 10 == 0 for i in after)
     assert not os.path.isdir(str(tmp_path / "uidx" / "_compact_staging"))
+
+
+def test_reshard_index_bit_identical(spark, tmp_path):
+    """Adaptive shard coalescing (north star: 'adaptive coalescing of small
+    posting shards'): resharding to a coarser docs_per_shard keeps doc ids
+    and returns bit-identical search results; should_reshard fires on a
+    sparse index and stays quiet on a healthy one."""
+    from dense_retriever_spark.corpus import ingest, synth_corpus, synth_queries
+    from dense_retriever_spark.index.build import (
+        build_index,
+        reshard_index,
+        should_reshard,
+    )
+    from dense_retriever_spark.index.search import load_stats, search
+
+    idx = str(tmp_path / "rs_idx")
+    build_index(ingest(synth_corpus(spark, 400, seed=13)), idx,
+                docs_per_shard=32, term_buckets=2)
+    qs = synth_queries(spark, 8)
+    before = sorted(map(tuple, search(spark, idx, qs, k=5).collect()))
+    s0 = load_stats(idx)
+    assert s0["n_shards"] == 13  # 400/32 rounded up
+
+    reshard_index(spark, idx, docs_per_shard=128)
+    s1 = load_stats(idx)
+    assert s1["docs_per_shard"] == 128 and s1["n_shards"] == 4
+    assert s1["n_docs"] == s0["n_docs"] and s1["avgdl"] == s0["avgdl"]
+    after = sorted(map(tuple, search(spark, idx, qs, k=5).collect()))
+    assert after == before and len(after) > 0
+
+    # policy: a fleet of tiny shards triggers; a healthy index does not
+    sparse = {"n_shards": 1000,
+              "metrics": {"posting_bytes": 1000 * (1 << 20)}}  # 1 MB avg
+    assert should_reshard(sparse)
+    healthy = {"n_shards": 1000,
+               "metrics": {"posting_bytes": 1000 * (64 << 20)}}  # 64 MB avg
+    assert not should_reshard(healthy)
+    small = {"n_shards": 8, "metrics": {"posting_bytes": 8}}
+    assert not should_reshard(small)  # too few shards to matter
