@@ -209,17 +209,35 @@ def cmd_compact(args) -> None:
 
 def cmd_reshard(args) -> None:
     """Adaptive shard coalescing: rebuild the index at a coarser (or finer)
-    docs_per_shard. build.should_reshard is the policy that decides when —
-    sparse doc-range shards after compactions, or a granularity outgrown by
-    corpus growth."""
+    docs_per_shard. With --if-needed the build.should_reshard policy gates
+    the rebuild (sparse doc-range shards after compactions, or a
+    granularity outgrown by corpus growth) — a scheduler can run this
+    unconditionally and pay the rebuild only when the index needs it."""
     spark = _spark(args)
-    from dense_retriever_spark.index.build import reshard_index
+    from dense_retriever_spark.index.build import reshard_index, should_reshard
     from dense_retriever_spark.index.search import load_stats
+    from dense_retriever_spark.schemas import CORPUS_SCHEMA
 
+    stats = load_stats(args.index_dir)
+    needed = should_reshard(
+        stats, min_avg_shard_bytes=args.min_avg_shard_bytes
+    )
+    if args.if_needed and not needed:
+        print(json.dumps({"index": args.index_dir, "resharded": False,
+                          "policy_fired": False}))
+        return
+    content_source = (
+        spark.read.schema(CORPUS_SCHEMA).parquet(args.content_source)
+        if args.content_source
+        else None
+    )
     paths = reshard_index(
         spark, args.index_dir, docs_per_shard=args.docs_per_shard,
+        content_source=content_source,
     )
-    print(json.dumps({"index": paths.root, "stats": load_stats(paths.root)}))
+    print(json.dumps({"index": paths.root, "resharded": True,
+                      "policy_fired": needed,
+                      "stats": load_stats(paths.root)}))
 
 
 def cmd_build_ann_index(args) -> None:
@@ -419,6 +437,13 @@ def main(argv=None) -> None:
     rs = sub.add_parser("reshard")
     rs.add_argument("--index-dir", required=True)
     rs.add_argument("--docs-per-shard", type=int, required=True)
+    rs.add_argument("--if-needed", action="store_true",
+                    help="rebuild only when build.should_reshard fires")
+    rs.add_argument("--min-avg-shard-bytes", type=int, default=4 << 20,
+                    help="policy threshold for --if-needed")
+    rs.add_argument("--content-source",
+                    help="immutable input table — required for indexes "
+                         "built with --no-stage-content")
     rs.set_defaults(fn=cmd_reshard)
 
     ba = sub.add_parser("build-ann-index")

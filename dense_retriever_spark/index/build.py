@@ -678,50 +678,60 @@ def reshard_index(
     """Rebuild the index with a new shard granularity — the coalescing
     operation ``should_reshard`` decides on.
 
-    Doc ids are KEPT (the docs table is re-staged verbatim); only the
+    Doc ids are KEPT (the docs table is MOVED aside verbatim — an O(1)
+    filesystem rename, not a second corpus-sized write); only the
     doc-range→shard arithmetic changes, so search results are bit-identical
     before and after (tested). The old manifest/shards/global are removed
-    first: a resumable build guards against mixed docs_per_shard state, and
-    no fingerprint can be reused across a granularity change anyway (every
-    shard's doc range moved). The docs table is staged to a sibling path on
-    the INDEX's filesystem (same reasoning as compact_index: executors
-    cannot see driver-local temp on a real cluster). Not crash-atomic: a
-    failure between the state delete and the rebuild leaves the staged docs
-    at ``_reshard_staging`` for a manual re-run — acceptable for a
-    maintenance operation that runs under a scheduler.
+    (no fingerprint survives a granularity change — every shard's doc range
+    moved); stats.json is KEPT until the rebuild overwrites it, so the
+    index's parameters remain readable throughout. Crash-safe by
+    construction: the staged docs are deleted only AFTER a successful
+    rebuild, and a re-run detects a leftover ``_reshard_staging`` (from a
+    crash after the move) and resumes from it — nothing in the failure
+    window can lose the corpus' only copy.
     """
     from dense_retriever_spark.index.search import load_stats
 
     paths = IndexPaths(index_dir)
     stats = load_stats(index_dir)  # format_version-checked
-    docs = spark.read.parquet(paths.docs).drop("shard")
+    staging = os.path.join(paths.root, "_reshard_staging")
+    if fs.exists(staging, spark):
+        if fs.exists(paths.docs, spark):
+            # prior run crashed after build_index rewrote docs but before
+            # the staging cleanup — the rebuilt state is authoritative
+            fs.delete(staging, spark)
+            fs.rename(paths.docs, staging, spark)
+        # else: crashed between the move and the rebuild — resume from
+        # the staged docs as-is
+    else:
+        fs.rename(paths.docs, staging, spark)
+    docs = spark.read.parquet(staging).drop("shard")
     if "content" not in docs.columns and content_source is None:
+        # put the docs table back before failing: the index stays readable
+        fs.rename(staging, paths.docs, spark)
         raise ValueError(
             "this index has a METADATA-ONLY docs table (built with "
             "content_source); resharding must re-read content — pass the "
             "immutable input table as content_source"
         )
-    staging = os.path.join(paths.root, "_reshard_staging")
-    try:
-        docs.write.mode("overwrite").parquet(staging)
-        # clear incompatible prior state (shards, manifest, global, stats,
-        # docs) — the rebuild below recreates all of it at the new dps
-        for stale in (paths.shards, paths.manifest, paths.global_dir,
-                      paths.docs, paths.stats):
-            fs.delete(stale, spark)
-        out = build_index(
-            spark.read.parquet(staging),
-            index_dir,
-            docs_per_shard=int(docs_per_shard),
-            term_buckets=int(stats["term_buckets"]),
-            shard_batch=shard_batch,
-            k1=float(stats["k1"]),
-            b=float(stats["b"]),
-            build_tag=build_tag,
-            content_source=content_source,
-        )
-    finally:
-        fs.delete(staging, spark)
+    # clear state no granularity change can reuse; stats.json survives
+    # (build_index's docs_per_shard fail-fast keys on the manifest, which
+    # is gone) and is overwritten by the rebuild
+    for stale in (paths.shards, paths.manifest, paths.global_dir):
+        fs.delete(stale, spark)
+    out = build_index(
+        docs,
+        index_dir,
+        docs_per_shard=int(docs_per_shard),
+        term_buckets=int(stats["term_buckets"]),
+        shard_batch=shard_batch,
+        k1=float(stats["k1"]),
+        b=float(stats["b"]),
+        build_tag=build_tag,
+        content_source=content_source,
+    )
+    # success: the rebuilt docs table exists — drop the staged original
+    fs.delete(staging, spark)
     return out
 
 

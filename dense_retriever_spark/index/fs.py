@@ -81,6 +81,18 @@ def mkdirs(path: str, spark: SparkSession | None = None) -> None:
         fs.mkdirs(p)
 
 
+def rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
+    """Filesystem rename — an O(1) metadata move on HDFS/local (object
+    stores emulate with copy+delete, still server-side). Raises if the
+    source is missing or the store refuses the move (e.g. dst exists)."""
+    with _fs_path(spark, src) as (s, fs, p):
+        if not fs.exists(p):
+            raise FileNotFoundError(src)
+        d = s._jvm.org.apache.hadoop.fs.Path(dst)
+        if not fs.rename(p, d):
+            raise OSError(f"rename {src} -> {dst} refused by filesystem")
+
+
 def delete(path: str, spark: SparkSession | None = None) -> None:
     """Recursive delete; no-op if absent (shutil.rmtree(ignore_errors=True)
     semantics)."""

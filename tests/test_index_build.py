@@ -332,3 +332,62 @@ def test_reshard_index_bit_identical(spark, tmp_path):
     assert not should_reshard(healthy)
     small = {"n_shards": 8, "metrics": {"posting_bytes": 8}}
     assert not should_reshard(small)  # too few shards to matter
+
+
+def test_reshard_crash_recovery_and_policy_gate(spark, tmp_path, capsys):
+    """A reshard that crashed between the docs move and the rebuild must be
+    resumable (the staged corpus is the only copy — never deleted on
+    failure); the CLI --if-needed gate skips healthy indexes; a
+    metadata-only index fails cleanly with its docs table restored."""
+    import json as _json
+    import os
+
+    from dense_retriever_spark import cli
+    from dense_retriever_spark.corpus import ingest, synth_corpus, synth_queries
+    from dense_retriever_spark.index import fs
+    from dense_retriever_spark.index.build import (
+        IndexPaths,
+        build_index,
+        reshard_index,
+    )
+    from dense_retriever_spark.index.search import load_stats, search
+
+    idx = str(tmp_path / "rc_idx")
+    build_index(ingest(synth_corpus(spark, 200, seed=17)), idx,
+                docs_per_shard=32, term_buckets=2)
+    qs = synth_queries(spark, 5)
+    before = sorted(map(tuple, search(spark, idx, qs, k=5).collect()))
+    paths = IndexPaths(idx)
+
+    # simulate the crash window: docs moved aside, rebuild never ran
+    fs.rename(paths.docs, os.path.join(idx, "_reshard_staging"), spark)
+    assert not fs.exists(paths.docs, spark)
+    reshard_index(spark, idx, docs_per_shard=128)  # resumes from staging
+    assert load_stats(idx)["docs_per_shard"] == 128
+    assert not fs.exists(os.path.join(idx, "_reshard_staging"), spark)
+    after = sorted(map(tuple, search(spark, idx, qs, k=5).collect()))
+    assert after == before
+
+    # --if-needed on a healthy (dense-shard) index: policy does not fire
+    cli.main(["reshard", "--index-dir", idx, "--docs-per-shard", "256",
+              "--if-needed"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"index": idx, "resharded": False, "policy_fired": False}
+    assert load_stats(idx)["docs_per_shard"] == 128  # untouched
+
+    # metadata-only index without content_source: clean error, docs intact
+    idx2 = str(tmp_path / "rc_meta")
+    src = synth_corpus(spark, 100, seed=18)
+    src.write.parquet(str(tmp_path / "rc_src"))
+    immutable = spark.read.parquet(str(tmp_path / "rc_src"))
+    build_index(ingest(immutable), idx2, docs_per_shard=32, term_buckets=2,
+                content_source=immutable)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="METADATA-ONLY"):
+        reshard_index(spark, idx2, docs_per_shard=64)
+    assert fs.exists(IndexPaths(idx2).docs, spark)  # restored, still readable
+    assert load_stats(idx2)["docs_per_shard"] == 32
+    # with the immutable input passed, the metadata-only reshard succeeds
+    reshard_index(spark, idx2, docs_per_shard=64, content_source=immutable)
+    assert load_stats(idx2)["docs_per_shard"] == 64
