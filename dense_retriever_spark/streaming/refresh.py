@@ -124,6 +124,12 @@ def drain_corpus_stream(
     round that crashed before ack) are deduplicated downstream by the
     refresh loop's ``dedup_exact`` content-sha anti-join — run
     refresh_rounds(dedup_exact=True) over streamed batches.
+
+    Single-consumer protocol: one drain/refresh/ack sequence at a time per
+    (staging_dir, checkpoint_dir). Concurrent drains against one checkpoint
+    contend on the stream's offset log, and concurrent acks would race on
+    the marker — run this under a scheduler that serializes windows (the
+    ``stream-refresh`` CLI's intended deployment).
     """
     drained: list[int] = []
 
