@@ -375,3 +375,31 @@ def test_refresh_reinvocation_continues_id_sequence(spark, tmp_path):
     ids = [r["doc_id"] for r in corpus.select("doc_id").collect()]
     assert len(ids) == len(set(ids)) == 90
     assert max(ids) == 89  # dense continuation, no restart at 0
+
+
+def test_drain_multi_microbatch_window(spark, tmp_path):
+    """A single drain whose backlog spans several micro-batches
+    (maxFilesPerTrigger=64) must return ALL of them as one window."""
+    from dense_retriever_spark.corpus import synth_corpus
+    from dense_retriever_spark.streaming.refresh import (
+        ack_corpus_batch,
+        drain_corpus_stream,
+    )
+
+    in_dir = str(tmp_path / "arr_mb")
+    staging = str(tmp_path / "st_mb")
+    ckpt = str(tmp_path / "ck_mb")
+    # 150 input FILES -> 3 micro-batches in one availableNow drain
+    synth_corpus(spark, 300, seed=7).repartition(150).write.mode(
+        "append"
+    ).parquet(in_dir)
+    b = drain_corpus_stream(spark, in_dir, staging, ckpt)
+    assert b.count() == 300
+    # the staged table really carries >1 distinct batch id
+    n_batches = (
+        spark.read.parquet(staging)
+        .select("_stream_batch").distinct().count()
+    )
+    assert n_batches >= 2, n_batches
+    ack_corpus_batch(spark, staging, b)
+    assert drain_corpus_stream(spark, in_dir, staging, ckpt).count() == 0
