@@ -207,6 +207,38 @@ def cmd_compact(args) -> None:
     print(json.dumps({"index": paths.root, "stats": load_stats(paths.root)}))
 
 
+def cmd_index_stats(args) -> None:
+    """Read-only index inspection: stats.json, a manifest roll-up (shards by
+    build tag, posting rows/bytes), and the maintenance-policy verdicts
+    (should_reshard) — the JSON a scheduler gates compaction/reshard jobs
+    on without touching the index."""
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.index.build import IndexPaths, should_reshard
+    from dense_retriever_spark.index.search import load_stats
+
+    stats = load_stats(args.index_dir)
+    m = spark.read.parquet(IndexPaths(args.index_dir).manifest)
+    tags = [
+        {"build_tag": r["build_tag"], "shards": r["n"],
+         "posting_rows": r["rows"], "posting_bytes": r["bytes"]}
+        for r in m.groupBy("build_tag").agg(
+            F.count("*").alias("n"),
+            F.sum("row_count").alias("rows"),
+            F.sum("bytes").alias("bytes"),
+        ).orderBy("build_tag").collect()
+    ]
+    print(json.dumps({
+        "index": args.index_dir,
+        "stats": stats,
+        "manifest_by_tag": tags,
+        "should_reshard": should_reshard(
+            stats, min_avg_shard_bytes=args.min_avg_shard_bytes
+        ),
+    }))
+
+
 def cmd_reshard(args) -> None:
     """Adaptive shard coalescing: rebuild the index at a coarser (or finer)
     docs_per_shard. With --if-needed the build.should_reshard policy gates
@@ -433,6 +465,11 @@ def main(argv=None) -> None:
                     help="parquet with the tombstoned doc ids")
     cp.add_argument("--kill-col", default="doc_id")
     cp.set_defaults(fn=cmd_compact)
+
+    ist = sub.add_parser("index-stats")
+    ist.add_argument("--index-dir", required=True)
+    ist.add_argument("--min-avg-shard-bytes", type=int, default=4 << 20)
+    ist.set_defaults(fn=cmd_index_stats)
 
     rs = sub.add_parser("reshard")
     rs.add_argument("--index-dir", required=True)

@@ -375,3 +375,23 @@ def test_cli_stream_refresh(spark, tmp_path):
     assert m1["round"] == 1 and m1["n_docs"] == 85
     assert os.path.exists(f"{workdir}/metrics_round0.json")  # not clobbered
     assert os.path.exists(f"{workdir}/train_set_round1")
+
+
+def test_cli_index_stats(spark, tmp_path, capsys):
+    """index-stats: read-only inspect verb — stats, per-tag manifest
+    roll-up, and the should_reshard verdict a scheduler gates on."""
+    import json as _json
+
+    from dense_retriever_spark import cli
+    from dense_retriever_spark.corpus import ingest, synth_corpus
+    from dense_retriever_spark.index.build import build_index
+
+    idx = str(tmp_path / "is_idx")
+    build_index(ingest(synth_corpus(spark, 120, seed=9)), idx,
+                docs_per_shard=32, term_buckets=2, build_tag="r0")
+    cli.main(["index-stats", "--index-dir", idx])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stats"]["n_docs"] == 120
+    assert out["manifest_by_tag"][0]["build_tag"] == "r0"
+    assert out["manifest_by_tag"][0]["shards"] == 4
+    assert isinstance(out["should_reshard"], bool)
