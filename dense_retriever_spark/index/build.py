@@ -686,9 +686,13 @@ def reshard_index(
     moved); stats.json is KEPT until the rebuild overwrites it, so the
     index's parameters remain readable throughout. Crash-safe by
     construction: the staged docs are deleted only AFTER a successful
-    rebuild, and a re-run detects a leftover ``_reshard_staging`` (from a
-    crash after the move) and resumes from it — nothing in the failure
-    window can lose the corpus' only copy.
+    rebuild, and whenever a re-run finds a leftover ``_reshard_staging``
+    it resumes from it UNCONDITIONALLY — a docs dir present alongside
+    staging is never trusted, because build_index's overwrite creates the
+    dir at job start, so existence cannot distinguish a finished rewrite
+    from a crash mid-write. Resuming from staging is idempotent (doc ids
+    are kept), so nothing in any failure window can lose the corpus' only
+    copy (tested: crash-before-rebuild AND crash-mid-rewrite).
     """
     from dense_retriever_spark.index.search import load_stats
 
@@ -696,13 +700,17 @@ def reshard_index(
     stats = load_stats(index_dir)  # format_version-checked
     staging = os.path.join(paths.root, "_reshard_staging")
     if fs.exists(staging, spark):
-        if fs.exists(paths.docs, spark):
-            # prior run crashed after build_index rewrote docs but before
-            # the staging cleanup — the rebuilt state is authoritative
-            fs.delete(staging, spark)
-            fs.rename(paths.docs, staging, spark)
-        # else: crashed between the move and the rebuild — resume from
-        # the staged docs as-is
+        # prior reshard crashed somewhere after the docs move. paths.docs
+        # may exist and even look complete — but build_index's overwrite
+        # creates it at JOB START, so its presence proves nothing about
+        # the corpus-sized rewrite having FINISHED (a crash mid-write
+        # leaves a partial table that looks authoritative; treating it as
+        # such and deleting staging would silently truncate the corpus —
+        # round-5 ADVICE). The staged table is the one copy known complete
+        # (the move was a single rename), and doc ids are kept across a
+        # reshard, so rebuilding from staging is idempotent: ALWAYS resume
+        # from staging and discard whatever docs state the crash left.
+        fs.delete(paths.docs, spark)
     else:
         fs.rename(paths.docs, staging, spark)
     docs = spark.read.parquet(staging).drop("shard")

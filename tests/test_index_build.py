@@ -368,12 +368,29 @@ def test_reshard_crash_recovery_and_policy_gate(spark, tmp_path, capsys):
     after = sorted(map(tuple, search(spark, idx, qs, k=5).collect()))
     assert after == before
 
+    # simulate the WORSE crash window (round-5 ADVICE): the rebuild's
+    # corpus-sized docs rewrite started but died mid-write — staging AND a
+    # partial-looking docs dir are both present. docs existence must NOT be
+    # trusted: recovery resumes from staging, or the corpus is silently
+    # truncated to the partial table
+    fs.rename(paths.docs, os.path.join(idx, "_reshard_staging"), spark)
+    partial = spark.read.parquet(
+        os.path.join(idx, "_reshard_staging")
+    ).limit(10)
+    partial.write.parquet(paths.docs)  # 10 of 200 docs: a partial rewrite
+    reshard_index(spark, idx, docs_per_shard=64)
+    assert not fs.exists(os.path.join(idx, "_reshard_staging"), spark)
+    s_rec = load_stats(idx)
+    assert s_rec["docs_per_shard"] == 64 and s_rec["n_docs"] == 200
+    after2 = sorted(map(tuple, search(spark, idx, qs, k=5).collect()))
+    assert after2 == before
+
     # --if-needed on a healthy (dense-shard) index: policy does not fire
     cli.main(["reshard", "--index-dir", idx, "--docs-per-shard", "256",
               "--if-needed"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"index": idx, "resharded": False, "policy_fired": False}
-    assert load_stats(idx)["docs_per_shard"] == 128  # untouched
+    assert load_stats(idx)["docs_per_shard"] == 64  # untouched
 
     # metadata-only index without content_source: clean error, docs intact
     idx2 = str(tmp_path / "rc_meta")
