@@ -170,8 +170,11 @@ def refresh_rounds(
     also means the next round's fingerprint resume cannot resurrect killed
     docs. This is the automatic escape hatch the round-3 verdict asked for —
     no docstring reading required. Doc ids are never reused after a
-    compaction: the id watermark is a monotone driver-side scalar, not a
-    corpus count.
+    compaction: the id watermark is a monotone scalar persisted to
+    ``workdir/_watermark.json`` each round (not a corpus count, and not
+    in-memory only — a re-invocation seeds from the file, so a compaction
+    that removed the highest-id docs between invocations cannot cause id
+    reuse either).
     """
     from dense_retriever_spark.index.build import (
         assign_doc_ids_scalable,
@@ -202,18 +205,29 @@ def refresh_rounds(
     )
 
     rounds: list[dict] = []
-    # seed the id watermark from an EXISTING corpus: re-invoking
-    # refresh_rounds on a workdir from a prior run (e.g. new batches arrived
-    # via drain_corpus_stream's restartable checkpoint) must continue the id
-    # sequence, not restart at 0 — round 0's append would otherwise assign
-    # doc ids that collide with (or, post-compaction, reuse) existing ones
+    # seed the id watermark from the DURABLE record first, then the corpus:
+    # re-invoking refresh_rounds on a workdir from a prior run (e.g. new
+    # batches arrived via drain_corpus_stream's restartable checkpoint) must
+    # continue the id sequence, not restart at 0 — round 0's append would
+    # otherwise assign doc ids that collide with existing ones. max(doc_id)
+    # alone is NOT enough across invocations: if a prior run's near-dup
+    # compaction removed the highest-id docs (stream-refresh with
+    # --dedup-near once per cron window), the on-disk max SHRINKS, and
+    # re-seeding from it would reassign killed ids — silently re-attaching
+    # old qrels/tombstones to different documents (round-5 ADVICE). The
+    # in-memory monotone carry-forward below is therefore persisted to
+    # _watermark.json each round and folded into the seed here.
     n_total = 0
+    wm_path = os.path.join(workdir, "_watermark.json")
+    if os.path.exists(wm_path):
+        with open(wm_path) as fh:
+            n_total = int(json.load(fh)["next_doc_id"])
     if os.path.exists(corpus_path):
         row0 = spark.read.parquet(corpus_path).agg(
             F.max("doc_id").alias("m")
         ).collect()[0]
         if row0["m"] is not None:
-            n_total = int(row0["m"]) + 1
+            n_total = max(n_total, int(row0["m"]) + 1)
     for rnd, batch in enumerate(corpus_batches, start=int(start_round)):
         if dedup_exact:
             sha = F.sha2(F.col("content"), 256)
@@ -265,6 +279,12 @@ def refresh_rounds(
         if row["m"] is not None:
             n_total = max(n_total, int(row["m"]) + 1)
         n_docs_now = int(row["c"])
+        # persist the ever-assigned watermark BEFORE any compaction can
+        # shrink max(doc_id): a later invocation seeds from this file, so a
+        # killed high-id doc's id is never reassigned even if this round's
+        # (or a later round's) compaction removes it from the corpus
+        with open(wm_path, "w") as fh:
+            json.dump({"next_doc_id": int(n_total)}, fh)
 
         # kill-list BEFORE the build: a compacting round filters the corpus
         # and builds the index directly over the survivors — each touched

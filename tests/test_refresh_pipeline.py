@@ -377,6 +377,53 @@ def test_refresh_reinvocation_continues_id_sequence(spark, tmp_path):
     assert max(ids) == 89  # dense continuation, no restart at 0
 
 
+def test_watermark_survives_compaction_across_invocations(spark, tmp_path):
+    """The round-5 ADVICE hazard: a prior invocation's compaction removed
+    the HIGHEST-id docs, so the next invocation's max(doc_id)+1 seed would
+    reassign killed ids. The durable _watermark.json must prevent that —
+    new docs get ids past every id ever assigned."""
+    from dense_retriever_spark.corpus import synth_corpus, synth_queries
+    from dense_retriever_spark.pipeline import refresh_rounds
+
+    workdir = str(tmp_path / "wm_wd")
+    queries = synth_queries(spark, 4).selectExpr(
+        "query_id as qid", "query as text"
+    )
+    qrels = queries.select("qid", (F.col("qid") * 3 % 50).alias("doc_id"))
+    refresh_rounds(
+        spark, [synth_corpus(spark, 50, seed=31)], queries, qrels, workdir,
+        k=5, docs_per_shard=64,
+    )
+    wm = json.load(open(f"{workdir}/_watermark.json"))
+    assert wm["next_doc_id"] == 50
+
+    # simulate a between-invocation compaction that killed the top-10 ids
+    # (what stream-refresh --dedup-near does when the newest crawls are the
+    # dups): corpus max(doc_id) shrinks 49 -> 39
+    corpus_path = f"{workdir}/corpus"
+    survivors = (
+        spark.read.parquet(corpus_path)
+        .filter(F.col("doc_id") < 40)
+        .localCheckpoint(eager=True)
+    )
+    survivors.write.mode("overwrite").parquet(corpus_path)
+
+    refresh_rounds(
+        spark, [synth_corpus(spark, 20, seed=32)], queries, qrels, workdir,
+        k=5, docs_per_shard=64, start_round=1,
+    )
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(corpus_path).select("doc_id").collect()
+    )
+    # no new doc reuses a killed id (40..49): new ids start at the durable
+    # watermark (50), not at on-disk max+1 (40)
+    assert len(ids) == len(set(ids)) == 60
+    new_ids = [i for i in ids if i >= 40]
+    assert min(new_ids) == 50 and max(new_ids) == 69
+    assert json.load(open(f"{workdir}/_watermark.json"))["next_doc_id"] == 70
+
+
 def test_drain_multi_microbatch_window(spark, tmp_path):
     """A single drain whose backlog spans several micro-batches
     (maxFilesPerTrigger=64) must return ALL of them as one window."""
