@@ -31,11 +31,34 @@ from __future__ import annotations
 
 import json
 import os
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 ANN_FORMAT_VERSION = 1
+
+
+@dataclass
+class AnnSearchHandle:
+    """Lazy ``search_ann_index(eager=False)`` result: the composable result
+    plan plus the probe-cache lifetime the caller owns. Call ``release()``
+    (idempotent) once the plan has been executed/materialized. Explicit
+    fields instead of an attribute monkeypatched onto the DataFrame
+    (round-5 verdict): a ``.select()`` on a DataFrame silently dropped the
+    attribute, orphaning the cached probe blocks — the handle keeps the
+    lifetime visible however the plan is transformed. DataFrame attribute
+    access delegates to ``df``, so the handle composes like the plan it
+    wraps."""
+
+    df: DataFrame
+    probes: DataFrame
+
+    def release(self) -> None:
+        self.probes.unpersist()
+
+    def __getattr__(self, name: str):
+        return getattr(self.df, name)
 
 #: query_mode='auto' switches the probes-side join broadcast → shuffle above
 #: this many probe rows (= |Q| × nprobe). Unlike the probed-CELL id list
@@ -179,10 +202,11 @@ def search_ann_index(
     (≤ k × |Q|-row) result executor-side (localCheckpoint), and unpersist
     the probe relation immediately — otherwise each call pins probe blocks
     on executors until garbage collection (the leak class round-3 fixed for
-    search()'s broadcasts). ``eager=False`` keeps the lazy plan for
-    composition; the caller then owns the probe cache lifetime via the
-    returned DataFrame's ``_persisted_probes`` attribute (unpersist it when
-    done, mirroring assign_doc_ids_scalable's ``_persisted_src``).
+    search()'s broadcasts). ``eager=False`` returns an ``AnnSearchHandle``
+    — the lazy plan (``.df``, with DataFrame attribute delegation for
+    composition) plus ``release()``, which the caller invokes once the plan
+    has executed. On ANY error after the probe relation is persisted, the
+    cache is released before the exception propagates.
     """
     from dense_retriever_spark.operators.similarity import cosine_expr
     from dense_retriever_spark.operators.topk import topk_per_group
@@ -212,42 +236,51 @@ def search_ann_index(
         q_scored, "query_vec_id", "cdot", nprobe, id_col="centroid_id"
     ).select("query_vec_id", "qvec", "centroid_id").persist()
 
-    # ONE bounded job (≤ K result rows regardless of |Q|) yields both the
-    # probed cell ids for partition pruning AND the probe-row total for the
-    # auto-mode decision — and materializes the probes cache as a side
-    # effect
-    cell_counts = probes.groupBy("centroid_id").count().collect()
-    probed = [r["centroid_id"] for r in cell_counts]
-    cells = spark.read.parquet(paths.cells).filter(
-        F.col("centroid_id").isin(probed)
-    )
-    if query_mode == "auto":
-        n_probes = sum(r["count"] for r in cell_counts)
-        query_mode = (
-            "broadcast" if n_probes <= ANN_PROBE_BROADCAST_LIMIT
-            else "shuffle"
+    # everything from here on runs under the probes cache: any failure
+    # (a dead executor, a bad cells dir) must release the persisted blocks
+    # instead of leaking them until GC — the same leak class the early
+    # query_mode validation guards (round-5 ADVICE)
+    try:
+        # ONE bounded job (≤ K result rows regardless of |Q|) yields both
+        # the probed cell ids for partition pruning AND the probe-row total
+        # for the auto-mode decision — and materializes the probes cache as
+        # a side effect
+        cell_counts = probes.groupBy("centroid_id").count().collect()
+        probed = [r["centroid_id"] for r in cell_counts]
+        cells = spark.read.parquet(paths.cells).filter(
+            F.col("centroid_id").isin(probed)
         )
-    if query_mode == "broadcast":
-        cand = cells.join(F.broadcast(probes), "centroid_id")
-    else:
-        # cells/ is partitioned by centroid_id on disk; AQE may still elect
-        # a runtime broadcast if the probe side turns out tiny — the point
-        # is only that nothing FORCES a |Q|-growing broadcast
-        cand = cells.join(probes, "centroid_id")
-    if exclude_self:
-        cand = cand.filter(F.col("query_vec_id") != F.col("vec_id"))
-    # no dedup needed: cell assignment is top-1 (build_ann_index), so each
-    # (query, vec) pair appears at most once — a distinct() here would be a
-    # full extra exchange that removes nothing
-    scored = cand.select(
-        "query_vec_id",
-        "vec_id",
-        cosine_expr(F.col("qvec"), F.col("evec")).alias("cosine"),
-    )
-    out = topk_per_group(scored, "query_vec_id", "cosine", k, id_col="vec_id")
-    if eager:
-        out = out.localCheckpoint(eager=True)
+        if query_mode == "auto":
+            n_probes = sum(r["count"] for r in cell_counts)
+            query_mode = (
+                "broadcast" if n_probes <= ANN_PROBE_BROADCAST_LIMIT
+                else "shuffle"
+            )
+        if query_mode == "broadcast":
+            cand = cells.join(F.broadcast(probes), "centroid_id")
+        else:
+            # cells/ is partitioned by centroid_id on disk; AQE may still
+            # elect a runtime broadcast if the probe side turns out tiny —
+            # the point is only that nothing FORCES a |Q|-growing broadcast
+            cand = cells.join(probes, "centroid_id")
+        if exclude_self:
+            cand = cand.filter(F.col("query_vec_id") != F.col("vec_id"))
+        # no dedup needed: cell assignment is top-1 (build_ann_index), so
+        # each (query, vec) pair appears at most once — a distinct() here
+        # would be a full extra exchange that removes nothing
+        scored = cand.select(
+            "query_vec_id",
+            "vec_id",
+            cosine_expr(F.col("qvec"), F.col("evec")).alias("cosine"),
+        )
+        out = topk_per_group(
+            scored, "query_vec_id", "cosine", k, id_col="vec_id"
+        )
+        if eager:
+            out = out.localCheckpoint(eager=True)
+            probes.unpersist()
+            return out
+        return AnnSearchHandle(out, probes)
+    except BaseException:
         probes.unpersist()
-        return out
-    out._persisted_probes = probes
-    return out
+        raise

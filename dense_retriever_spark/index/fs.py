@@ -101,6 +101,16 @@ def delete(path: str, spark: SparkSession | None = None) -> None:
             fs.delete(p, True)
 
 
+def listdir(path: str, spark: SparkSession | None = None) -> list[str]:
+    """Immediate child names of a directory (empty list if absent) — one
+    metadata RPC; the streamed-staging retention path uses it to find
+    partition dirs by NAME instead of running a Spark job."""
+    with _fs_path(spark, path) as (_, fs, p):
+        if not fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
 def read_text(path: str, spark: SparkSession | None = None) -> str:
     with _fs_path(spark, path) as (s, fs, p):
         if not fs.exists(p):  # Pythonic error instead of opaque Py4J wrapper

@@ -64,7 +64,7 @@ def test_partition_pruning(spark, emb, ann_dir):
     assert "PartitionFilters" in plan
     seg = plan[plan.index("cells") :]
     assert "centroid_id" in seg.split("PushedFilters")[0]
-    df._persisted_probes.unpersist()
+    df.release()
 
 
 def test_big_batch_probes_not_broadcast(spark, emb, ann_dir, monkeypatch):
@@ -91,7 +91,7 @@ def test_big_batch_probes_not_broadcast(spark, emb, ann_dir, monkeypatch):
             plan
         )
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
-        df._persisted_probes.unpersist()
+        df.release()
 
         # below the threshold the same call still HINT-broadcasts probes
         monkeypatch.setattr(ann_mod, "ANN_PROBE_BROADCAST_LIMIT", 50_000)
@@ -100,9 +100,28 @@ def test_big_batch_probes_not_broadcast(spark, emb, ann_dir, monkeypatch):
         )
         small_plan = physical_plan(df_small)
         assert "BroadcastHashJoin" in small_plan.split("InMemoryRelation")[0]
-        df_small._persisted_probes.unpersist()
+        df_small.release()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_error_path_releases_probe_cache(spark, emb, tmp_path):
+    """A failure AFTER the probe relation is persisted (here: a missing
+    cells dir) must unpersist it before the exception propagates — the
+    leak class round-5 ADVICE flagged (no try/finally around the
+    post-persist jobs)."""
+    import shutil
+
+    from dense_retriever_spark.index.ann import AnnIndexPaths
+
+    d = str(tmp_path / "ann_broken")
+    build_ann_index(emb, d, n_centroids=NC, quantizer="hash")
+    shutil.rmtree(AnnIndexPaths(d).cells)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    with pytest.raises(Exception):
+        search_ann_index(spark, d, _queries(emb), k=K, nprobe=NPROBE)
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_shuffle_mode_bit_identical(spark, emb, ann_dir):

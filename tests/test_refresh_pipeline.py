@@ -267,13 +267,25 @@ def test_streamed_ingest_feeds_refresh_round(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     workdir = str(tmp_path / "work")
 
-    # arrival 1: 80 docs land
+    queries = synth_queries(spark, 5).selectExpr(
+        "query_id as qid", "query as text"
+    )
+    qrels = queries.select("qid", (F.col("qid") * 3 % 80).alias("doc_id"))
+
+    # window 1: 80 docs land; drain → refresh → ack (the documented
+    # protocol order — ack AFTER the round committed, since ack now PRUNES
+    # the staged partitions the batch's lazy plan reads from)
     synth_corpus(spark, 80, seed=1).write.mode("append").parquet(in_dir)
     batch1 = drain_corpus_stream(spark, in_dir, staging, ckpt)
     assert batch1.count() == 80
+    rounds = refresh_rounds(
+        spark, [batch1], queries, qrels, workdir, k=5,
+        docs_per_shard=64, dedup_exact=True,
+    )
+    assert rounds[0]["n_docs"] == 80
     ack_corpus_batch(spark, staging, batch1)
 
-    # arrival 2: 40 re-crawls (same content as the first 40) + 3 new docs
+    # window 2: 40 re-crawls (same content as the first 40) + 3 new docs
     # carrying a term that exists nowhere else in the corpus
     synth_corpus(spark, 40, seed=1).write.mode("append").parquet(in_dir)
     fresh = spark.createDataFrame(
@@ -286,18 +298,12 @@ def test_streamed_ingest_feeds_refresh_round(spark, tmp_path):
     batch2 = drain_corpus_stream(spark, in_dir, staging, ckpt)
     # only files that arrived since the acknowledged drain are returned
     assert batch2.count() == 43
-    ack_corpus_batch(spark, staging, batch2)
-
-    queries = synth_queries(spark, 5).selectExpr(
-        "query_id as qid", "query as text"
-    )
-    qrels = queries.select("qid", (F.col("qid") * 3 % 80).alias("doc_id"))
     rounds = refresh_rounds(
-        spark, [batch1, batch2], queries, qrels, workdir, k=5,
-        docs_per_shard=64, dedup_exact=True,
+        spark, [batch2], queries, qrels, workdir, k=5,
+        docs_per_shard=64, dedup_exact=True, start_round=1,
     )
-    assert rounds[0]["n_docs"] == 80
-    assert rounds[1]["n_docs"] == 83  # 40 re-crawls dropped, 3 fresh kept
+    assert rounds[0]["n_docs"] == 83  # 40 re-crawls dropped, 3 fresh kept
+    ack_corpus_batch(spark, staging, batch2)
 
     # the streamed-in docs are searchable in the refreshed index
     probe = spark.createDataFrame(
@@ -342,6 +348,59 @@ def test_drain_at_least_once_without_ack(spark, tmp_path):
     # nothing new, everything acked -> empty batch
     b3 = drain_corpus_stream(spark, in_dir, staging, ckpt)
     assert b3.count() == 0
+
+
+def test_ack_prunes_acked_staging_batches(spark, tmp_path):
+    """Round-5 verdict retention ask: after drain/ack cycles, staging holds
+    ONLY unacknowledged batches (acked partitions are deleted on ack), a
+    crashed-before-ack window still re-delivers, and the durable marker
+    survives the prune."""
+    import json as _json
+    import os as _os
+
+    from dense_retriever_spark.corpus import synth_corpus
+    from dense_retriever_spark.streaming.refresh import (
+        ack_corpus_batch,
+        drain_corpus_stream,
+    )
+
+    in_dir = str(tmp_path / "arr_rt")
+    staging = str(tmp_path / "stage_rt")
+    ckpt = str(tmp_path / "ck_rt")
+
+    def batch_dirs():
+        if not _os.path.exists(staging):
+            return []
+        return sorted(
+            d for d in _os.listdir(staging) if d.startswith("stream_batch=")
+        )
+
+    # cycle 1: drain + ack -> staging fully pruned, marker survives
+    synth_corpus(spark, 20, seed=5).write.mode("append").parquet(in_dir)
+    b1 = drain_corpus_stream(spark, in_dir, staging, ckpt)
+    assert b1.count() == 20 and len(batch_dirs()) >= 1
+    ack_corpus_batch(spark, staging, b1)
+    assert batch_dirs() == []
+    marker = _json.load(open(_os.path.join(staging, "_consumed.json")))
+    assert marker["consumed_through"] == b1.hi
+
+    # cycle 2: drain WITHOUT ack (crashed consumer) -> dirs retained
+    synth_corpus(spark, 10, seed=6).write.mode("append").parquet(in_dir)
+    b2 = drain_corpus_stream(spark, in_dir, staging, ckpt)
+    assert b2.count() == 10
+    orphaned = batch_dirs()
+    assert len(orphaned) >= 1
+
+    # cycle 3: new files + the orphans re-delivered in one window; after
+    # ack the staging dir holds no batch partitions at all
+    synth_corpus(spark, 5, seed=7).write.mode("append").parquet(in_dir)
+    b3 = drain_corpus_stream(spark, in_dir, staging, ckpt)
+    assert b3.count() == 15
+    assert set(batch_dirs()) > set(orphaned)
+    ack_corpus_batch(spark, staging, b3)
+    assert batch_dirs() == []
+    # and a final empty drain needs no scan and stays empty
+    assert drain_corpus_stream(spark, in_dir, staging, ckpt).count() == 0
 
 
 def test_refresh_reinvocation_continues_id_sequence(spark, tmp_path):
@@ -445,7 +504,7 @@ def test_drain_multi_microbatch_window(spark, tmp_path):
     # the staged table really carries >1 distinct batch id
     n_batches = (
         spark.read.parquet(staging)
-        .select("_stream_batch").distinct().count()
+        .select("stream_batch").distinct().count()
     )
     assert n_batches >= 2, n_batches
     ack_corpus_batch(spark, staging, b)
