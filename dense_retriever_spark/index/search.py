@@ -37,6 +37,7 @@ import json
 import os
 import threading
 import warnings
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -83,15 +84,50 @@ TERM_ISIN_LIMIT = 512
 #: the same build. Keyed on the index's FULL stats.json content — which
 #: embeds per-build phase timings, so any rebuild/compaction produces a new
 #: key and stale df values can never be served. OOV terms are cached as -1
-#: (a miss that re-ran the job every call would defeat the cache). Bounds:
-#: ≤ 8 live builds × ≤ _TERM_DF_CACHE_MAX terms per build (so worst case is
-#: 8× the per-build cap — document-scale vocabularies don't fit on the
-#: driver; observed QUERY vocabulary does). Guarded by _TERM_DF_LOCK:
-#: concurrent driver threads may at worst double-run the stats job, never
-#: read a half-trimmed dict.
-_TERM_DF_CACHE: dict[str, dict[str, float]] = {}
-_TERM_DF_CACHE_MAX = 2_000_000
+#: (a miss that re-ran the job every call would defeat the cache).
+#:
+#: Bounded in BYTES, not entries (round-5 verdict: 8 builds × 2M entries
+#: was ~a GB of driver RSS worst-case): builds are evicted WHOLE in LRU
+#: order (OrderedDict; every hit refreshes the build's recency) once the
+#: estimated footprint crosses _TERM_DF_BUDGET_BYTES — a long-lived serving
+#: driver that cycles through many index builds plateaus at the budget
+#: instead of growing. A single build whose query vocabulary alone
+#: overflows the budget is trimmed to the live query's terms (can't evict
+#: the build being served). Guarded by _TERM_DF_LOCK: concurrent driver
+#: threads may at worst double-run the stats job, never read a half-trimmed
+#: dict.
+_TERM_DF_CACHE: "OrderedDict[str, dict[str, float]]" = OrderedDict()
+_TERM_DF_SIZES: dict[str, int] = {}  # estimated bytes per build, incremental
+_TERM_DF_BUDGET_BYTES = 64 << 20
+#: estimated bytes per cached entry beyond the term text itself: str object
+#: header (~49) + float (24) + dict slot pair amortized (~100)
+_TERM_DF_ENTRY_OVERHEAD = 180
 _TERM_DF_LOCK = threading.Lock()
+
+
+def _term_df_evict(current_key: str) -> None:
+    """Evict least-recently-used builds until the cache fits the byte
+    budget (never the build being served — its overflow case is handled by
+    the caller's trim-to-live-terms path). Lock must be held. O(#builds)
+    driver arithmetic; byte totals are tracked incrementally on insert."""
+    # sum only keys still live in the cache: a caller that cleared the
+    # OrderedDict directly would otherwise leave stale size entries that
+    # inflate the total and over-evict live builds
+    total = sum(_TERM_DF_SIZES.get(k, 0) for k in _TERM_DF_CACHE)
+    while total > _TERM_DF_BUDGET_BYTES and len(_TERM_DF_CACHE) > 1:
+        victim = next(iter(_TERM_DF_CACHE))
+        if victim == current_key:
+            _TERM_DF_CACHE.move_to_end(victim)
+            continue
+        _TERM_DF_CACHE.pop(victim)
+        total -= _TERM_DF_SIZES.pop(victim, 0)
+
+
+def _term_df_cache_clear() -> None:
+    """Reset the cache AND its byte accounting together (test hook)."""
+    with _TERM_DF_LOCK:
+        _TERM_DF_CACHE.clear()
+        _TERM_DF_SIZES.clear()
 
 #: warn when a tombstone list crosses the documented broadcast ceiling —
 #: past this, compaction (build.compact_index / the `compact` CLI) is the
@@ -396,9 +432,12 @@ def _search_broadcast(
         {"dir": index_dir, "stats": stats}, sort_keys=True
     )
     with _TERM_DF_LOCK:
-        if cache_key not in _TERM_DF_CACHE and len(_TERM_DF_CACHE) >= 8:
-            _TERM_DF_CACHE.clear()  # bound the number of live index builds
-        dfs = _TERM_DF_CACHE.setdefault(cache_key, {})
+        if cache_key in _TERM_DF_CACHE:
+            _TERM_DF_CACHE.move_to_end(cache_key)  # LRU recency on hit
+        else:
+            _TERM_DF_CACHE[cache_key] = {}
+            _TERM_DF_SIZES[cache_key] = 0
+        dfs = _TERM_DF_CACHE[cache_key]
         vals = {t: dfs[t] for t in all_terms if t in dfs}
     missing = [t for t in all_terms if t not in vals]
     if missing:
@@ -413,11 +452,26 @@ def _search_broadcast(
         for t in missing:
             vals[t] = found.get(t, -1.0)  # -1 = OOV, cached too
         with _TERM_DF_LOCK:
-            dfs.update({t: vals[t] for t in missing})
-            if len(dfs) > _TERM_DF_CACHE_MAX:
-                keep = {t: dfs[t] for t in all_terms if t in dfs}
-                dfs.clear()
-                dfs.update(keep)
+            added = 0
+            for t in missing:
+                if t not in dfs:
+                    added += len(t) + _TERM_DF_ENTRY_OVERHEAD
+                dfs[t] = vals[t]
+            if cache_key in _TERM_DF_SIZES:
+                _TERM_DF_SIZES[cache_key] += added
+                _term_df_evict(cache_key)
+                build_bytes = _TERM_DF_SIZES.get(cache_key, 0)
+                if build_bytes > _TERM_DF_BUDGET_BYTES:
+                    # this build's vocabulary ALONE overflows the budget:
+                    # trim to the live query's terms instead of growing
+                    keep = {t: dfs[t] for t in all_terms if t in dfs}
+                    dfs.clear()
+                    dfs.update(keep)
+                    _TERM_DF_SIZES[cache_key] = sum(
+                        len(t) + _TERM_DF_ENTRY_OVERHEAD for t in dfs
+                    )
+            # else: this build was evicted by a concurrent thread between
+            # the collect and here — serve vals, don't resurrect the entry
     idfs = {
         t: idf_fn(v, float(n_docs)) for t, v in vals.items() if v >= 0.0
     }

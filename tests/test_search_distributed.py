@@ -122,7 +122,7 @@ def test_term_df_cache_amortizes_stats_job(spark, tmp_path):
     build_index(ingest(synth_corpus(spark, 150)), d, docs_per_shard=64,
                 term_buckets=2)
     qs = synth_queries(spark, 8)
-    search_mod._TERM_DF_CACHE.clear()
+    search_mod._term_df_cache_clear()
     sc = spark.sparkContext
     tracker = sc.statusTracker()
 
@@ -157,3 +157,60 @@ def test_term_df_cache_amortizes_stats_job(spark, tmp_path):
     )
     assert again == cold  # same corpus content → same results
     assert j_again > j_warm  # cold job count again: cache not reused
+
+
+def test_term_df_cache_byte_budget_evicts(spark, tmp_path, monkeypatch):
+    """Round-5 verdict: the cache is bounded in BYTES, evicting whole
+    builds LRU — a sweep across builds (or a vocabulary bigger than the
+    budget) plateaus at the budget instead of growing driver RSS."""
+    import dense_retriever_spark.index.search as search_mod
+    from dense_retriever_spark.corpus import ingest, synth_corpus, synth_queries
+    from dense_retriever_spark.index.build import build_index
+    from dense_retriever_spark.index.search import search
+
+    dirs = []
+    for i in range(3):
+        d = str(tmp_path / f"bidx{i}")
+        build_index(ingest(synth_corpus(spark, 60, seed=40 + i)), d,
+                    docs_per_shard=64, term_buckets=2)
+        dirs.append(d)
+    qs = synth_queries(spark, 6)
+    key_of = lambda d: next(  # noqa: E731
+        (k for k in search_mod._TERM_DF_CACHE if d in k), None
+    )
+
+    search_mod._term_df_cache_clear()
+    search(spark, dirs[0], qs, k=3).collect()
+    b0 = search_mod._TERM_DF_SIZES[key_of(dirs[0])]
+    assert b0 > 0 and len(search_mod._TERM_DF_CACHE) == 1
+
+    # budget fits ~1.5 builds: inserting build 1 must evict build 0 (LRU),
+    # never grow to two resident builds
+    monkeypatch.setattr(search_mod, "_TERM_DF_BUDGET_BYTES", b0 + b0 // 2)
+    search(spark, dirs[1], qs, k=3).collect()
+    assert len(search_mod._TERM_DF_CACHE) == 1
+    assert key_of(dirs[1]) and not key_of(dirs[0])
+
+    # sweep on: build 2's insert pushes past the budget again and evicts
+    # build 1 — the cache PLATEAUS at one resident build all through the
+    # sweep instead of accumulating
+    search(spark, dirs[1], qs, k=3).collect()  # cache hit, refreshes recency
+    search(spark, dirs[2], qs, k=3).collect()
+    assert len(search_mod._TERM_DF_CACHE) == 1 and key_of(dirs[2])
+
+    # single-build overflow: a budget smaller than one build's vocabulary
+    # trims the resident dict to the LIVE query's terms instead of growing.
+    # The probe query carries a novel term so the insert path (where the
+    # trim lives) actually runs against the already-warm build.
+    before_trim = len(search_mod._TERM_DF_CACHE[key_of(dirs[2])])
+    monkeypatch.setattr(search_mod, "_TERM_DF_BUDGET_BYTES", 64)
+    probe = spark.createDataFrame(
+        [(0, "zzqcachenovel alpha")], "query_id long, query string"
+    )
+    search(spark, dirs[2], probe, k=3).collect()
+    dfs = search_mod._TERM_DF_CACHE[key_of(dirs[2])]
+    from dense_retriever_spark.operators.bm25 import query_terms
+
+    live = {r["term"] for r in query_terms(probe).collect()}
+    assert set(dfs) <= live and 0 < len(dfs) < before_trim
+    search_mod._term_df_cache_clear()
