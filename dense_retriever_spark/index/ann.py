@@ -60,6 +60,7 @@ class AnnSearchHandle:
     def __getattr__(self, name: str):
         return getattr(self.df, name)
 
+
 #: query_mode='auto' switches the probes-side join broadcast → shuffle above
 #: this many probe rows (= |Q| × nprobe). Unlike the probed-CELL id list
 #: (bounded by K), the probe relation carries full query vectors and grows
@@ -68,6 +69,18 @@ class AnnSearchHandle:
 #: avoid. ~50k rows × a 64-dim double vector ≈ 25 MB; size down for fat
 #: embeddings.
 ANN_PROBE_BROADCAST_LIMIT = 50_000
+
+#: warn at search time when the index's cluster-coherence statistic (mean
+#: top-1 centroid cosine, computed at build time over the assignment the
+#: build already materialized) says the corpus is in the noise-dominated
+#: regime where coarse quantizers are blind: the round-5 recall sweep
+#: (tools/bench_ann_recall.py, BENCH/ann_recall_sigma*.json) measured IVF
+#: recall@10 ≤ 0.65 even at nprobe=32 on weakly-clustered data — which
+#: shows a hash-quantizer mean top-1 cosine ≈ 0.36 (σ=0.35, dim 64) —
+#: while tightly-clustered data (≈ 0.62 at σ=0.08) reaches recall 1.0.
+#: 0.45 splits the two measured regimes. Reference analog: the index-type
+#: choice at /root/reference/dense_retriever/transforms/ann_index.py:88.
+ANN_COHERENCE_WARN = 0.45
 
 
 class AnnIndexPaths:
@@ -135,7 +148,24 @@ def build_ann_index(
         paths.cells
     )
 
-    n_vec = embeddings.count()
+    # ONE agg over the written cells (scan of what was just persisted, not
+    # a re-run of the N×K assignment) yields the vector count AND the
+    # cluster-coherence statistic: mean top-1 centroid cosine. Low values
+    # mean the quantizer's cells don't capture neighborhoods — the regime
+    # the round-5 recall sweep proved IVF is blind in (recall ≤ 0.65 at
+    # nprobe=32) — so searches of this index warn and point at the SRP
+    # operator, which handles weak structure by hashing the vectors
+    # themselves (see ANN_COHERENCE_WARN).
+    spark = embeddings.sparkSession
+    row = (
+        spark.read.parquet(paths.cells)
+        .join(cents_b, "centroid_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(cosine_expr(F.col("evec"), F.col("cvec"))).alias("coh"),
+        )
+        .collect()[0]
+    )
     fs.write_text(
         paths.meta,
         json.dumps(
@@ -143,11 +173,14 @@ def build_ann_index(
                 "format_version": ANN_FORMAT_VERSION,
                 "n_centroids": n_centroids,
                 "quantizer": quantizer,
-                "n_vectors": n_vec,
+                "n_vectors": int(row["n"]),
+                "mean_top1_cosine": (
+                    None if row["coh"] is None else round(float(row["coh"]), 6)
+                ),
                 "seed": seed,
             }
         ),
-        embeddings.sparkSession,
+        spark,
     )
     return paths
 
@@ -216,7 +249,22 @@ def search_ann_index(
         # persisted would leak its cached blocks (no unpersist on the error
         # path)
         raise ValueError(f"unknown query_mode {query_mode!r}")
-    load_ann_meta(index_dir, spark)
+    meta = load_ann_meta(index_dir, spark)
+    coh = meta.get("mean_top1_cosine")
+    if coh is not None and coh < ANN_COHERENCE_WARN:
+        import warnings
+
+        warnings.warn(
+            f"ANN index at {index_dir} has mean top-1 centroid cosine "
+            f"{coh:.3f} < {ANN_COHERENCE_WARN} — the corpus is in the "
+            "noise-dominated regime where IVF cells don't capture "
+            "neighborhoods (measured recall@10 <= 0.65 at nprobe=32, "
+            "BENCH/ann_recall_sigma0.35.json); raise nprobe, or prefer "
+            "operators.similarity.srp_ann_topk, which stays accurate on "
+            "weakly-clustered data",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     paths = AnnIndexPaths(index_dir)
     cents = F.broadcast(spark.read.parquet(paths.centroids))
 

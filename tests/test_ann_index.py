@@ -105,6 +105,45 @@ def test_big_batch_probes_not_broadcast(spark, emb, ann_dir, monkeypatch):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_coherence_stat_and_noise_regime_warning(spark, emb, ann_dir, tmp_path):
+    """Round-5 verdict: the build records mean top-1 centroid cosine in
+    ann_meta.json; searches of an index in the measured noise-dominated
+    regime (stat < ANN_COHERENCE_WARN) warn and point at srp_ann_topk,
+    while a tightly-clustered corpus stays silent."""
+    import warnings as wmod
+
+    import numpy as np
+
+    # the synthetic testdata embeddings ARE weakly clustered (measured
+    # ~0.38 at 64 centroids, sf0.01) — the fixture index must carry the
+    # stat and searches must warn
+    meta = load_ann_meta(ann_dir, spark)
+    assert 0.0 < meta["mean_top1_cosine"] < 0.45
+    with pytest.warns(RuntimeWarning, match="srp_ann_topk"):
+        search_ann_index(spark, ann_dir, _queries(emb), k=K, nprobe=NPROBE)
+
+    # tightly-clustered corpus: stat above threshold, no regime warning
+    rng = np.random.default_rng(5)
+    C = rng.normal(size=(8, 64))
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    lab = rng.integers(0, 8, 2000)
+    X = C[lab] + rng.normal(scale=0.05, size=(2000, 64))
+    clustered = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(2000)],
+        "vec_id long, embedding array<double>",
+    )
+    d2 = str(tmp_path / "coh_idx")
+    build_ann_index(clustered, d2, n_centroids=16, quantizer="hash")
+    assert load_ann_meta(d2, spark)["mean_top1_cosine"] > 0.45
+    qs2 = clustered.filter(F.col("vec_id") < 3).selectExpr(
+        "vec_id as query_vec_id", "embedding as qvec"
+    )
+    with wmod.catch_warnings(record=True) as caught:
+        wmod.simplefilter("always")
+        search_ann_index(spark, d2, qs2, k=3, nprobe=4)
+    assert not [w for w in caught if "noise-dominated" in str(w.message)]
+
+
 def test_error_path_releases_probe_cache(spark, emb, tmp_path):
     """A failure AFTER the probe relation is persisted (here: a missing
     cells dir) must unpersist it before the exception propagates — the
