@@ -325,6 +325,7 @@ def cmd_refresh(args) -> None:
         dedup_near=args.dedup_near,
         compact_fraction=args.compact_fraction,
         compact_min_ids=args.compact_min_ids,
+        auto_reshard=args.auto_reshard,
     )
     print(json.dumps({"workdir": args.workdir, "rounds": rounds}))
 
@@ -377,6 +378,7 @@ def cmd_stream_refresh(args) -> None:
         compact_fraction=args.compact_fraction,
         compact_min_ids=args.compact_min_ids,
         start_round=start,
+        auto_reshard=args.auto_reshard,
     )
     ack_corpus_batch(spark, args.staging_dir, batch)
     print(json.dumps({"workdir": args.workdir, "drained_rows": n,
@@ -526,6 +528,10 @@ def main(argv=None) -> None:
     rf.add_argument("--compact-min-ids", type=int, default=10_000_000,
                     help="compact when the kill-list exceeds this absolute "
                          "size (the tombstone broadcast ceiling)")
+    rf.add_argument("--auto-reshard", action="store_true",
+                    help="act on the per-round should_reshard policy "
+                         "verdict (always recorded in metrics) by "
+                         "coalescing sparse shards mid-loop")
     rf.set_defaults(fn=cmd_refresh)
 
     sr = sub.add_parser("stream-refresh")
@@ -541,6 +547,7 @@ def main(argv=None) -> None:
     sr.add_argument("--dedup-near", action="store_true")
     sr.add_argument("--compact-fraction", type=float, default=0.1)
     sr.add_argument("--compact-min-ids", type=int, default=10_000_000)
+    sr.add_argument("--auto-reshard", action="store_true")
     sr.set_defaults(fn=cmd_stream_refresh)
 
     args = p.parse_args(argv)

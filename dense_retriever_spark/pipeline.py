@@ -135,6 +135,9 @@ def refresh_rounds(
     compact_fraction: float = 0.1,
     compact_min_ids: int = 10_000_000,
     start_round: int = 0,
+    auto_reshard: bool = False,
+    reshard_min_avg_bytes: int = 4 << 20,
+    reshard_min_shards: int = 64,
 ) -> list[dict]:
     """Run one refresh round per corpus batch. Returns per-round metrics.
 
@@ -175,12 +178,27 @@ def refresh_rounds(
     in-memory only — a re-invocation seeds from the file, so a compaction
     that removed the highest-id docs between invocations cannot cause id
     reuse either).
+
+    Shard-coalescing policy: every round evaluates ``should_reshard`` on
+    the fresh build's structured metrics and records the verdict in
+    ``metrics_round{i}.json`` (the scheduler's signal). With
+    ``auto_reshard=True`` the round acts on it too: the index is resharded
+    to a coarser ``docs_per_shard`` (scaled by the byte deficit, so the
+    rebuilt average clears ``reshard_min_avg_bytes``) BEFORE the round's
+    search — results are bit-identical across a reshard (doc ids are
+    kept), and subsequent rounds build incrementally at the new
+    granularity. This closes the loop the policy was written for: a
+    compaction-heavy refresh sequence that leaves a fleet of near-empty
+    doc-range shards coalesces them instead of paying per-shard task
+    overhead forever.
     """
     from dense_retriever_spark.index.build import (
         assign_doc_ids_scalable,
         build_index,
+        reshard_index,
+        should_reshard,
     )
-    from dense_retriever_spark.index.search import search
+    from dense_retriever_spark.index.search import load_stats, search
     from dense_retriever_spark.operators.negatives import (
         build_train_set,
         construct_query_samples,
@@ -323,6 +341,30 @@ def refresh_rounds(
             build_tag=f"round{rnd}",
         )
 
+        # shard-coalescing policy on the fresh build's own metrics — no
+        # extra Spark job. Reshard (when enabled) runs BEFORE the search:
+        # results are bit-identical across it, so the round searches the
+        # coalesced index instead of paying the sparse-shard fan-out once
+        # more. The coarser granularity carries into later rounds' builds.
+        stats_now = load_stats(index_dir)
+        reshard_due = should_reshard(
+            stats_now,
+            min_avg_shard_bytes=reshard_min_avg_bytes,
+            min_shards=reshard_min_shards,
+        )
+        resharded = False
+        if reshard_due and auto_reshard:
+            avg = float(stats_now["metrics"]["posting_bytes"]) / max(
+                int(stats_now["n_shards"]), 1
+            )
+            factor = max(2, -(-reshard_min_avg_bytes // max(int(avg), 1)))
+            docs_per_shard = int(docs_per_shard) * int(factor)
+            reshard_index(
+                spark, index_dir, docs_per_shard=docs_per_shard,
+                build_tag=f"reshard_round{rnd}",
+            )
+            resharded = True
+
         # query_mode='auto': the refresh loop searches the FULL query-sample
         # set each round (the reference's training.py:75-83 regime) — at
         # training-data scale that is millions of queries, which must flow
@@ -362,7 +404,11 @@ def refresh_rounds(
             "n_docs": int(n_docs_now),
             f"mrr@{k}": round_mrr,
             "build_timings": timings,
+            "should_reshard": bool(reshard_due),
         }
+        if resharded:
+            summary["resharded"] = True
+            summary["docs_per_shard"] = int(docs_per_shard)
         if dedup_near:
             summary["near_dup_killed"] = int(n_kill)
             summary["compacted"] = bool(compacted)

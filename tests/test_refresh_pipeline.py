@@ -436,6 +436,55 @@ def test_refresh_reinvocation_continues_id_sequence(spark, tmp_path):
     assert max(ids) == 89  # dense continuation, no restart at 0
 
 
+def test_refresh_auto_reshard_bit_identical(spark, tmp_path):
+    """Round-5 verdict ask 5: each refresh round records the
+    should_reshard policy verdict in its metrics, and auto_reshard=True
+    acts on it — coalescing sparse shards mid-loop with bit-identical
+    search results and an incremental next round at the new granularity."""
+    from dense_retriever_spark.corpus import synth_corpus, synth_queries
+    from dense_retriever_spark.index.search import load_stats, search
+    from dense_retriever_spark.pipeline import refresh_rounds
+
+    def batches():
+        return [synth_corpus(spark, 150, seed=51),
+                synth_corpus(spark, 80, seed=52)]
+
+    queries = synth_queries(spark, 8).selectExpr(
+        "query_id as qid", "query as text"
+    )
+    qrels = queries.select("qid", (F.col("qid") * 5 % 150).alias("doc_id"))
+
+    wd_a = str(tmp_path / "rs_off")
+    rounds_a = refresh_rounds(
+        spark, batches(), queries, qrels, wd_a, k=5, docs_per_shard=16,
+    )
+    # default policy thresholds: 10 shards is far below min_shards=64
+    assert [r["should_reshard"] for r in rounds_a] == [False, False]
+
+    wd_b = str(tmp_path / "rs_on")
+    rounds_b = refresh_rounds(
+        spark, batches(), queries, qrels, wd_b, k=5, docs_per_shard=16,
+        auto_reshard=True, reshard_min_avg_bytes=1 << 30,
+        reshard_min_shards=2,
+    )
+    assert rounds_b[0]["should_reshard"] and rounds_b[0]["resharded"]
+    assert rounds_b[0]["docs_per_shard"] > 16
+    stats = load_stats(os.path.join(wd_b, "index"))
+    assert stats["docs_per_shard"] > 16
+
+    # per-round quality metrics and final search results are bit-identical
+    # across the coalescing — a reshard is a physical re-layout only
+    assert [r["mrr@5"] for r in rounds_a] == [r["mrr@5"] for r in rounds_b]
+    probe = synth_queries(spark, 8)
+    res_a = sorted(map(tuple, search(
+        spark, os.path.join(wd_a, "index"), probe, k=5
+    ).collect()))
+    res_b = sorted(map(tuple, search(
+        spark, os.path.join(wd_b, "index"), probe, k=5
+    ).collect()))
+    assert res_a == res_b and len(res_a) > 0
+
+
 def test_watermark_survives_compaction_across_invocations(spark, tmp_path):
     """The round-5 ADVICE hazard: a prior invocation's compaction removed
     the HIGHEST-id docs, so the next invocation's max(doc_id)+1 seed would
