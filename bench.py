@@ -11,6 +11,10 @@ local[$SPARK_GRAFT_CPUS]:
   q_search_indexed — 100-query top-10 via the block-max engine on that index
   q_search_tombstoned — the same 100 queries with a ~14% kill-list applied
                      (block-max stays live on masked postings)
+  q_search_bigbatch_dist — 5k queries on the distributed plane, median of 3
+  q_stream_refresh_round — one drain→refresh→ack window: ~10k new docs
+                     folded incrementally into the existing corpus index
+                     (the steady-state cost of the cron-driven deployment)
   q_bm25_exact     — index-free exact BM25 (the oracle path) on documents
   q_dedup_minhash  — MinHash-LSH candidate pairs + Jaccard verify on documents
   q_cosine_topk    — brute-force cosine top-3 on embeddings
@@ -163,17 +167,66 @@ def main() -> None:
 
     # distributed query plane: a 5k-query batch flowing as a RELATION
     # (query terms ⋈ global stats ⋈ shard presence, cogrouped with the shard
-    # scan — O(1) driver state at any |Q|): the training-set-scale path
+    # scan — O(1) driver state at any |Q|): the training-set-scale path.
+    # REPEAT-MEDIAN (round-5 verdict): this is the suite's largest single
+    # metric and the box's measured run-to-run spread on identical code is
+    # ~2× — one run cannot distinguish a plan regression from noise. The
+    # headline is the median of 3; every run lands in the artifact.
     big_q = synth_queries(spark, 5000).cache()
     big_q.count()
-    timed("q_search_bigbatch_dist", lambda: search(
-        spark, idx_dir, big_q, k=10, use_blockmax=True,
-        query_mode="distributed",
-    ).count())
+    bigbatch_runs: list[float] = []
+    for _ in range(3):
+        t0 = time.time()
+        search(
+            spark, idx_dir, big_q, k=10, use_blockmax=True,
+            query_mode="distributed",
+        ).count()
+        bigbatch_runs.append(round(time.time() - t0, 3))
+    timings["q_search_bigbatch_dist"] = sorted(bigbatch_runs)[1]
+    extra["bigbatch_runs_seconds"] = bigbatch_runs
     extra["bigbatch_queries_per_sec"] = round(
         5000 / timings["q_search_bigbatch_dist"], 1
     )
     big_q.unpersist()
+
+    # incremental operating mode (round-5 verdict item 7): ONE stream-refresh
+    # window — drain ~10k newly-arrived docs, run a refresh round against an
+    # EXISTING index over the full staged corpus, ack. Setup (the round-0
+    # build of the existing index) is untimed; the metric is the steady-state
+    # per-window cost a cron-driven deployment pays.
+    from dense_retriever_spark.pipeline import refresh_rounds
+    from dense_retriever_spark.streaming.refresh import (
+        ack_corpus_batch,
+        drain_corpus_stream,
+    )
+
+    wd = tempfile.mkdtemp(prefix="bench_refresh_", dir=shm)
+    rq = synth_queries(spark, 20).selectExpr(
+        "query_id as qid", "query as text"
+    )
+    rqrels = rq.select("qid", (F.col("qid") * 7 % 1000).alias("doc_id"))
+    refresh_rounds(
+        spark, [spark.read.parquet(stage_root + "/corpus")], rq, rqrels, wd,
+        k=10, docs_per_shard=dps, dedup_exact=True,
+    )
+    arrivals = wd + "/arrivals"
+    synth_corpus(spark, 10_000, seed=99).write.parquet(arrivals)
+
+    def stream_refresh_round():
+        b = drain_corpus_stream(
+            spark, arrivals, wd + "/staging", wd + "/ckpt"
+        )
+        refresh_rounds(
+            spark, [b], rq, rqrels, wd, k=10, docs_per_shard=dps,
+            dedup_exact=True, start_round=1,
+        )
+        ack_corpus_batch(spark, wd + "/staging", b)
+
+    timed("q_stream_refresh_round", stream_refresh_round)
+    extra["stream_refresh_docs_per_sec"] = round(
+        10_000 / timings["q_stream_refresh_round"], 1
+    )
+    shutil.rmtree(wd, ignore_errors=True)
 
     timed("q_bm25_exact", lambda: q01_bm25_topk(spark, sf_dir).count())
 
