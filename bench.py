@@ -15,6 +15,8 @@ local[$SPARK_GRAFT_CPUS]:
   q_stream_refresh_round — one drain→refresh→ack window: ~10k new docs
                      folded incrementally into the existing corpus index
                      (the steady-state cost of the cron-driven deployment)
+  q_stream_refresh_round_gen — the same window with the generational
+                     global layout (phase B merges O(window), not O(index))
   q_bm25_exact     — index-free exact BM25 (the oracle path) on documents
   q_dedup_minhash  — MinHash-LSH candidate pairs + Jaccard verify on documents
   q_cosine_topk    — brute-force cosine top-3 on embeddings
@@ -227,6 +229,35 @@ def main() -> None:
         10_000 / timings["q_stream_refresh_round"], 1
     )
     shutil.rmtree(wd, ignore_errors=True)
+
+    # the same window with the GENERATIONAL global layout: phase B merges
+    # only the shards the window touched (O(window)) instead of re-merging
+    # the whole index (O(index)) — the incremental-mode configuration a
+    # 100 TB deployment runs. Same protocol, separate workdir.
+    wdg = tempfile.mkdtemp(prefix="bench_refresh_gen_", dir=shm)
+    refresh_rounds(
+        spark, [spark.read.parquet(stage_root + "/corpus")], rq, rqrels, wdg,
+        k=10, docs_per_shard=dps, dedup_exact=True,
+        global_layout="generational",
+    )
+    arrivals_g = wdg + "/arrivals"
+    synth_corpus(spark, 10_000, seed=99).write.parquet(arrivals_g)
+
+    def stream_refresh_round_gen():
+        b = drain_corpus_stream(
+            spark, arrivals_g, wdg + "/staging", wdg + "/ckpt"
+        )
+        refresh_rounds(
+            spark, [b], rq, rqrels, wdg, k=10, docs_per_shard=dps,
+            dedup_exact=True, start_round=1,
+        )
+        ack_corpus_batch(spark, wdg + "/staging", b)
+
+    timed("q_stream_refresh_round_gen", stream_refresh_round_gen)
+    extra["stream_refresh_gen_docs_per_sec"] = round(
+        10_000 / timings["q_stream_refresh_round_gen"], 1
+    )
+    shutil.rmtree(wdg, ignore_errors=True)
 
     timed("q_bm25_exact", lambda: q01_bm25_topk(spark, sf_dir).count())
 

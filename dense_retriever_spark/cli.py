@@ -61,6 +61,7 @@ def cmd_build_index(args) -> None:
         term_buckets=args.term_buckets,
         shard_batch=args.shard_batch,
         content_source=content_source,
+        global_layout=args.global_layout,
     )
     from dense_retriever_spark.index.search import load_stats
 
@@ -182,10 +183,30 @@ def cmd_build_term_cache(args) -> None:
     spark = _spark(args)
     from pyspark.sql import functions as F
 
+    from dense_retriever_spark.index.build import IndexPaths
+    from dense_retriever_spark.index.search import load_stats
+
+    idx_stats = load_stats(args.index_dir)
+    paths = IndexPaths(args.index_dir)
     # postings column pruned by parquet: the cache scan reads 3 columns only
-    stats = spark.read.parquet(f"{args.index_dir}/global").select(
-        "term", "df", "cf"
-    )
+    if idx_stats.get("global_layout", "merged") == "generational":
+        # per-term totals across gen segments + the loose tail shards
+        gu = int(idx_stats.get("genned_until", 0))
+        legs = [
+            spark.read.parquet(paths.shards)
+            .filter(F.col("shard") >= gu)
+            .select("term", "df", "cf")
+        ]
+        if int(idx_stats.get("n_gens", 0)) > 0:
+            legs.append(
+                spark.read.parquet(paths.global_dir).select("term", "df", "cf")
+            )
+        u = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+        stats = u.groupBy("term").agg(
+            F.sum("df").alias("df"), F.sum("cf").alias("cf")
+        )
+    else:
+        stats = spark.read.parquet(paths.global_dir).select("term", "df", "cf")
     if args.min_df > 1:
         stats = stats.filter(F.col("df") >= args.min_df)
     stats.write.mode("overwrite").parquet(args.out)
@@ -326,6 +347,7 @@ def cmd_refresh(args) -> None:
         compact_fraction=args.compact_fraction,
         compact_min_ids=args.compact_min_ids,
         auto_reshard=args.auto_reshard,
+        global_layout=args.global_layout,
     )
     print(json.dumps({"workdir": args.workdir, "rounds": rounds}))
 
@@ -379,6 +401,7 @@ def cmd_stream_refresh(args) -> None:
         compact_min_ids=args.compact_min_ids,
         start_round=start,
         auto_reshard=args.auto_reshard,
+        global_layout=args.global_layout,
     )
     ack_corpus_batch(spark, args.staging_dir, batch)
     print(json.dumps({"workdir": args.workdir, "drained_rows": n,
@@ -395,6 +418,12 @@ def main(argv=None) -> None:
     b.add_argument("--index-dir", required=True)
     b.add_argument("--docs-per-shard", type=int, default=1 << 14)
     b.add_argument("--term-buckets", type=int, default=8)
+    b.add_argument("--global-layout", default=None,
+                   choices=["merged", "generational"],
+                   help="global/ layout: 'merged' = one re-merged table per "
+                        "build; 'generational' = per-window gen segments so "
+                        "incremental builds merge O(window), not O(index); "
+                        "default inherits the existing index's layout")
     b.add_argument("--shard-batch", type=int, default=None)
     b.add_argument("--no-stage-content", action="store_true")
     b.set_defaults(fn=cmd_build_index)
@@ -532,6 +561,8 @@ def main(argv=None) -> None:
                     help="act on the per-round should_reshard policy "
                          "verdict (always recorded in metrics) by "
                          "coalescing sparse shards mid-loop")
+    rf.add_argument("--global-layout", default=None,
+                    choices=["merged", "generational"])
     rf.set_defaults(fn=cmd_refresh)
 
     sr = sub.add_parser("stream-refresh")
@@ -548,6 +579,8 @@ def main(argv=None) -> None:
     sr.add_argument("--compact-fraction", type=float, default=0.1)
     sr.add_argument("--compact-min-ids", type=int, default=10_000_000)
     sr.add_argument("--auto-reshard", action="store_true")
+    sr.add_argument("--global-layout", default=None,
+                    choices=["merged", "generational"])
     sr.set_defaults(fn=cmd_stream_refresh)
 
     args = p.parse_args(argv)

@@ -340,6 +340,180 @@ def _merge_term_groups(pdf: pd.DataFrame):
     )
 
 
+# --- generational global index (incremental phase B) --------------------------
+#
+# The default ("merged") phase B re-merges EVERY shard's rows into global/ on
+# every build — O(total index bytes) even when the resumable phase A rebuilt
+# only the handful of shards a refresh window touched. At 100 TB that makes
+# the steady-state incremental window pay a full-index shuffle per run. The
+# "generational" layout is the LSM/Lucene-segment answer: global/ holds
+# gen=<id>/ directories, each the term-merge of one contiguous IMMUTABLE
+# shard range; the volatile tail shard (still receiving appends) stays out of
+# any gen and its term stats are read from shards/ directly. Per window the
+# build merges only the shards that became immutable since the last gen —
+# O(window), not O(index). Staleness (a compaction/recrawl rebuilding a
+# genned shard) is detected by comparing each gen's stored fingerprint —
+# sha over the range's (shard_id, input_fingerprint) manifest rows — against
+# the current manifest, so recovery is a pure function of on-disk state
+# (crash-safe: a half-applied build is re-detected and re-merged). A fold
+# policy bounds the generation count by merging the adjacent pair with the
+# smallest combined byte size (amortized like Lucene's tiered merges).
+#
+# Searches never scan gens for scoring (the serving path scores shards/);
+# gens serve (term, df) statistics, aggregated across gens + the loose tail
+# by search.global_term_stats. Reference analog: the single merged index the
+# reference persists (/root/reference/dense_retriever/transforms/
+# ann_index.py:87-98), generalized to segments so incremental refresh
+# windows stay O(new docs).
+
+def _gens_meta_path(paths: IndexPaths) -> str:
+    # underscore name: invisible to Spark's partition discovery over global/
+    return os.path.join(paths.global_dir, "_gens.json")
+
+
+def _gen_dir(paths: IndexPaths, gen_id: int) -> str:
+    return os.path.join(paths.global_dir, f"gen={int(gen_id)}")
+
+
+def _read_gens(spark: SparkSession, paths: IndexPaths) -> list[dict]:
+    p = _gens_meta_path(paths)
+    if not fs.exists(p, spark):
+        return []
+    return json.loads(fs.read_text(p, spark))["gens"]
+
+
+def _range_fingerprints(
+    spark: SparkSession, paths: IndexPaths, ranges: list[tuple[int, int]]
+) -> dict[tuple[int, int], tuple[str, int]]:
+    """{(lo, hi): (fingerprint, posting_bytes)} over the CURRENT manifest —
+    one pass, ranges bucketed with a when-chain (gen count is policy-bounded,
+    so the chain stays small). The fingerprint is a sha over the range's
+    sorted (shard_id, input_fingerprint) rows: any rebuild, orphan sweep, or
+    compaction inside the range changes it, which is what marks a gen stale."""
+    man = _manifest_df(spark, paths)
+    if man is None or not ranges:
+        return {}
+    bucket = F.lit(None).cast("int")
+    for i, (lo, hi) in enumerate(ranges):
+        bucket = F.when(
+            (F.col("shard_id") >= lo) & (F.col("shard_id") < hi), F.lit(i)
+        ).otherwise(bucket)
+    rows = (
+        man.withColumn("_r", bucket)
+        .filter(F.col("_r").isNotNull())
+        .groupBy("_r")
+        .agg(
+            F.sha2(
+                F.concat_ws(
+                    ",",
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat_ws(":", "shard_id", "input_fingerprint")
+                        )
+                    ),
+                ),
+                256,
+            ).alias("fp"),
+            F.sum("bytes").alias("bytes"),
+        )
+        .collect()
+    )
+    return {
+        ranges[int(r["_r"])]: (r["fp"], int(r["bytes"] or 0)) for r in rows
+    }
+
+
+def _merge_range_to_gen(
+    spark: SparkSession,
+    paths: IndexPaths,
+    gen_id: int,
+    lo: int,
+    hi: int,
+    p: int,
+) -> None:
+    """Term-merge shards [lo, hi) into global/gen=<id>/ — the same one-
+    exchange xxhash64(term) grouping as the merged layout, restricted to the
+    range (partition-pruned scan of shards/)."""
+    rows = spark.read.parquet(paths.shards).filter(
+        (F.col("shard") >= lo) & (F.col("shard") < hi)
+    )
+    merged = rows.groupBy(
+        F.pmod(F.xxhash64("term"), F.lit(p)).alias("_g")
+    ).applyInPandas(_merge_term_groups, schema=GLOBAL_ROW_SCHEMA)
+    merged.write.mode("overwrite").parquet(_gen_dir(paths, gen_id))
+
+
+def _phase_b_generational(
+    spark: SparkSession,
+    paths: IndexPaths,
+    n_shards: int,
+    p: int,
+    max_gens: int,
+) -> tuple[int, int]:
+    """Incremental phase B. Returns (genned_until, n_gens) for stats.json.
+
+    Plan = pure function of (manifest, _gens.json): re-merge gens whose
+    range fingerprint drifted (rebuilt/compacted shards), add one gen over
+    shards that became immutable since the last gen ([genned_until, tail)),
+    then fold adjacent gens while the count exceeds ``max_gens``. The tail
+    shard (id n_shards-1) never enters a gen — it is the only shard appends
+    mutate, and excluding it is what keeps each window's merge O(window)
+    instead of chaining every gen into the next."""
+    fs.mkdirs(paths.global_dir, spark)
+    gens = _read_gens(spark, paths)
+    genned_until = max((g["hi"] for g in gens), default=0)
+    tail = n_shards - 1
+    new_range = (genned_until, tail) if tail > genned_until else None
+    check = [(g["lo"], g["hi"]) for g in gens]
+    if new_range:
+        check.append(new_range)
+    fps = _range_fingerprints(spark, paths, check)
+
+    out: list[dict] = []
+    next_id = max((g["id"] for g in gens), default=-1) + 1
+    for g in gens:
+        cur = fps.get((g["lo"], g["hi"]))
+        if cur is None:
+            # every shard in the range vanished (orphan sweep) — drop the gen
+            fs.delete(_gen_dir(paths, g["id"]), spark)
+            continue
+        if cur[0] != g["fp"]:  # stale: a genned shard was rebuilt
+            _merge_range_to_gen(spark, paths, g["id"], g["lo"], g["hi"], p)
+            g = {**g, "fp": cur[0], "bytes": cur[1]}
+        out.append(g)
+    if new_range and new_range in fps:
+        _merge_range_to_gen(spark, paths, next_id, *new_range, p)
+        out.append(
+            {
+                "id": next_id,
+                "lo": new_range[0],
+                "hi": new_range[1],
+                "fp": fps[new_range][0],
+                "bytes": fps[new_range][1],
+            }
+        )
+    out.sort(key=lambda g: g["lo"])
+
+    # fold policy: bound the gen count by merging the adjacent pair with the
+    # smallest combined size — amortized O(index / max_gens) per window
+    while len(out) > max_gens:
+        i = min(
+            range(len(out) - 1),
+            key=lambda j: out[j]["bytes"] + out[j + 1]["bytes"],
+        )
+        a, b = out[i], out[i + 1]
+        lo, hi = a["lo"], b["hi"]
+        _merge_range_to_gen(spark, paths, a["id"], lo, hi, p)
+        fs.delete(_gen_dir(paths, b["id"]), spark)
+        fp = _range_fingerprints(spark, paths, [(lo, hi)])[(lo, hi)]
+        out[i] = {"id": a["id"], "lo": lo, "hi": hi,
+                  "fp": fp[0], "bytes": fp[1]}
+        del out[i + 1]
+
+    fs.write_text(_gens_meta_path(paths), json.dumps({"gens": out}), spark)
+    return (max((g["hi"] for g in out), default=0), len(out))
+
+
 # --- the build ----------------------------------------------------------------
 
 def build_index(
@@ -354,6 +528,8 @@ def build_index(
     timings: dict | None = None,
     build_tag: str = "",
     content_source: DataFrame | None = None,
+    global_layout: str | None = None,
+    max_gens: int = 32,
 ) -> IndexPaths:
     """Build the full index from an ingested corpus (doc_id + content_sha).
 
@@ -373,6 +549,17 @@ def build_index(
     corpus-sized write. Determinism holds because the join key targets an
     immutable table, not a re-runnable lineage; natural keys must be unique
     (the same requirement doc-id assignment already has).
+
+    ``global_layout``: ``'merged'`` (default for new indexes) writes global/
+    as ONE term-merged table — rebuilt wholesale every build;
+    ``'generational'`` writes per-window gen=<id>/ segments so incremental
+    builds merge only the shards that became immutable since the last run
+    (O(window), not O(index) — see the generational section above). ``None``
+    inherits the existing index's layout (stats.json), so compaction /
+    reshard / refresh resumes keep the layout without re-stating it.
+    Switching an existing index's layout explicitly rebuilds global/ from
+    shards (derived data — always safe). ``max_gens`` bounds the generation
+    count via the adjacent-pair fold policy.
     """
     import time
 
@@ -395,6 +582,7 @@ def build_index(
     # docs_per_shard, would silently mis-decode blobs / mis-route doc ids.
     from dense_retriever_spark.index.codec import FORMAT_VERSION
 
+    prev_layout = None
     if fs.exists(paths.stats, spark):
         prev = json.loads(fs.read_text(paths.stats, spark))
         pv = prev.get("format_version", 1)
@@ -412,6 +600,17 @@ def build_index(
                 f"{docs_per_shard}; shard boundaries would not line up — "
                 "pass the original value or use a fresh index directory"
             )
+        prev_layout = prev.get("global_layout", "merged")
+    if global_layout is not None and global_layout not in (
+        "merged", "generational"
+    ):
+        raise ValueError(f"unknown global_layout {global_layout!r}")
+    layout = global_layout or prev_layout or "merged"
+    if prev_layout is not None and layout != prev_layout:
+        # layout switch: global/ is derived data — rebuild it from shards in
+        # the requested layout (gens metadata lives inside global/, so the
+        # delete resets both)
+        fs.delete(paths.global_dir, spark)
 
     # STAGE: materialize the ingested corpus exactly once (doc dimension table
     # WITH content, partitioned by shard for per-batch pruning). Every
@@ -587,21 +786,45 @@ def build_index(
     # xxhash64(term)) before this groupBy would NOT be reused by it (different
     # partitioner) — it doubled the shuffle, moving every posting byte twice
     # (measured 2 Exchanges vs 1; removed in round 2).
-    shards_df = spark.read.parquet(paths.shards)
     p = merge_partitions or spark.sparkContext.defaultParallelism
-    merged = (
-        shards_df
-        .groupBy(F.pmod(F.xxhash64("term"), F.lit(p)).alias("_g"))
-        .applyInPandas(_merge_term_groups, schema=GLOBAL_ROW_SCHEMA)
-    )
-    merged.write.mode("overwrite").parquet(paths.global_dir)
+    if layout == "generational":
+        genned_until, n_gens = _phase_b_generational(
+            spark, paths, n_shards, p, max_gens
+        )
+    else:
+        shards_df = spark.read.parquet(paths.shards)
+        merged = (
+            shards_df
+            .groupBy(F.pmod(F.xxhash64("term"), F.lit(p)).alias("_g"))
+            .applyInPandas(_merge_term_groups, schema=GLOBAL_ROW_SCHEMA)
+        )
+        merged.write.mode("overwrite").parquet(paths.global_dir)
+        genned_until, n_gens = 0, 0
     mark("phase_b")
 
     # avgdl from the built index itself: total tokens == sum of cf over the
-    # global term index (exactly len(tokenize(content)) summed over all docs)
-    total_tokens = (
-        spark.read.parquet(paths.global_dir).agg(F.sum("cf")).collect()[0][0] or 0
-    )
+    # global term index (exactly len(tokenize(content)) summed over all
+    # docs). Generational layout: gens cover [0, genned_until); the loose
+    # tail's cf comes from its shard rows (partition-pruned scan).
+    if layout == "generational":
+        gens_cf = (
+            spark.read.parquet(paths.global_dir).agg(F.sum("cf")).collect()[0][0]
+            if n_gens
+            else 0
+        ) or 0
+        loose_cf = (
+            spark.read.parquet(paths.shards)
+            .filter(F.col("shard") >= genned_until)
+            .agg(F.sum("cf"))
+            .collect()[0][0]
+            or 0
+        )
+        total_tokens = int(gens_cf) + int(loose_cf)
+    else:
+        total_tokens = (
+            spark.read.parquet(paths.global_dir).agg(F.sum("cf")).collect()[0][0]
+            or 0
+        )
     avgdl = float(total_tokens) / n_docs if n_docs else 0.0
 
     # structured build metrics (north star: 'lineage manifests ... and
@@ -631,6 +854,9 @@ def build_index(
                 "n_shards": n_shards,
                 "term_buckets": term_buckets,
                 "build_tag": build_tag,
+                "global_layout": layout,
+                "genned_until": int(genned_until),
+                "n_gens": int(n_gens),
                 "metrics": {
                     "phase_seconds": dict(t),
                     "manifest_shards": int(roll["shards"]) if roll else 0,

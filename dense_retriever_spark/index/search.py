@@ -135,6 +135,38 @@ def _term_df_cache_clear() -> None:
 TOMBSTONE_WARN_IDS = 10_000_000
 
 
+def global_term_stats(
+    spark: SparkSession, index_dir: str, stats: dict
+) -> DataFrame:
+    """(term, df) relation for idf lookups — layout-aware.
+
+    Merged layout (default): global/ has one row per term; return it as-is
+    (no aggregation exchange on the interactive path). Generational layout
+    (build_index(global_layout='generational') — the incremental-refresh
+    mode): df per term is the SUM over the gen segments plus the loose tail
+    shards past ``genned_until`` (their stats come straight from shards/,
+    partition-pruned). Term-predicate pushdown survives the union+aggregate
+    (Catalyst pushes filters on grouping keys below the Aggregate and
+    through the Union), so _term_pruned callers keep their row-group
+    pruning on every leg."""
+    paths = IndexPaths(index_dir)
+    if stats.get("global_layout", "merged") != "generational":
+        return spark.read.parquet(paths.global_dir)
+    legs = []
+    if int(stats.get("n_gens", 0)) > 0:
+        legs.append(
+            spark.read.parquet(paths.global_dir).select("term", "df")
+        )
+    gu = int(stats.get("genned_until", 0))
+    legs.append(
+        spark.read.parquet(paths.shards)
+        .filter(F.col("shard") >= gu)
+        .select("term", "df")
+    )
+    u = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+    return u.groupBy("term").agg(F.sum("df").alias("df"))
+
+
 def load_stats(index_dir: str) -> dict:
     from dense_retriever_spark.index import fs
     from dense_retriever_spark.index.codec import FORMAT_VERSION
@@ -444,7 +476,9 @@ def _search_broadcast(
         # the collect runs OUTSIDE the lock (concurrent threads may double-
         # run the job for the same terms — benign; both write the same df)
         gstats = (
-            _term_pruned(spark.read.parquet(paths.global_dir), missing, spark)
+            _term_pruned(
+                global_term_stats(spark, index_dir, stats), missing, spark
+            )
             .select("term", "df")
             .collect()
         )
@@ -570,7 +604,7 @@ def _search_distributed(
     # eager path instead of leaking one checkpointed RDD per call until GC
     # (the training-set regime pins millions of rows per round otherwise).
     qt = query_terms(queries_df).persist()
-    gstats = spark.read.parquet(paths.global_dir).select("term", "df")
+    gstats = global_term_stats(spark, index_dir, stats).select("term", "df")
     # inner join == the broadcast plane's `t in idfs` OOV filter
     qti = qt.join(gstats, "term").select(
         "query_id", "term", F.col("df").cast("long").alias("df")

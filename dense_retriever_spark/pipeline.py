@@ -138,6 +138,7 @@ def refresh_rounds(
     auto_reshard: bool = False,
     reshard_min_avg_bytes: int = 4 << 20,
     reshard_min_shards: int = 64,
+    global_layout: str | None = None,
 ) -> list[dict]:
     """Run one refresh round per corpus batch. Returns per-round metrics.
 
@@ -339,6 +340,10 @@ def refresh_rounds(
             term_buckets=term_buckets,
             timings=timings,
             build_tag=f"round{rnd}",
+            # 'generational' keeps the per-window global merge O(window)
+            # instead of O(index) — the steady-state cost that dominates an
+            # incremental refresh at scale; None inherits the index's layout
+            global_layout=global_layout,
         )
 
         # shard-coalescing policy on the fresh build's own metrics — no
