@@ -348,6 +348,7 @@ def cmd_refresh(args) -> None:
         compact_min_ids=args.compact_min_ids,
         auto_reshard=args.auto_reshard,
         global_layout=args.global_layout,
+        metadata_only_docs=args.metadata_only_docs,
     )
     print(json.dumps({"workdir": args.workdir, "rounds": rounds}))
 
@@ -402,6 +403,7 @@ def cmd_stream_refresh(args) -> None:
         start_round=start,
         auto_reshard=args.auto_reshard,
         global_layout=args.global_layout,
+        metadata_only_docs=args.metadata_only_docs,
     )
     ack_corpus_batch(spark, args.staging_dir, batch)
     print(json.dumps({"workdir": args.workdir, "drained_rows": n,
@@ -563,6 +565,10 @@ def main(argv=None) -> None:
                          "coalescing sparse shards mid-loop")
     rf.add_argument("--global-layout", default=None,
                     choices=["merged", "generational"])
+    rf.add_argument("--metadata-only-docs", action="store_true",
+                    help="stage a metadata-only docs table; content joins "
+                         "from the corpus at build time (no second "
+                         "corpus-sized write per round)")
     rf.set_defaults(fn=cmd_refresh)
 
     sr = sub.add_parser("stream-refresh")
@@ -581,6 +587,7 @@ def main(argv=None) -> None:
     sr.add_argument("--auto-reshard", action="store_true")
     sr.add_argument("--global-layout", default=None,
                     choices=["merged", "generational"])
+    sr.add_argument("--metadata-only-docs", action="store_true")
     sr.set_defaults(fn=cmd_stream_refresh)
 
     args = p.parse_args(argv)

@@ -139,6 +139,7 @@ def refresh_rounds(
     reshard_min_avg_bytes: int = 4 << 20,
     reshard_min_shards: int = 64,
     global_layout: str | None = None,
+    metadata_only_docs: bool = False,
 ) -> list[dict]:
     """Run one refresh round per corpus batch. Returns per-round metrics.
 
@@ -192,6 +193,17 @@ def refresh_rounds(
     compaction-heavy refresh sequence that leaves a fleet of near-empty
     doc-range shards coalesces them instead of paying per-shard task
     overhead forever.
+
+    ``metadata_only_docs``: the loop's corpus table is already the
+    immutable content store, so by default every round's build writes the
+    content a SECOND time into the index's docs/ table — an O(corpus-bytes)
+    write per window. True stages a metadata-only docs table instead
+    (build_index's ``content_source`` knob pointed at the corpus); phase A
+    joins content by natural key, and train-set hydration reads the corpus
+    directly (it does in both modes — same rows by construction). Combine
+    with ``global_layout='generational'`` for the full incremental
+    configuration: per window, no corpus-sized write and no index-sized
+    merge.
     """
     from dense_retriever_spark.index.build import (
         assign_doc_ids_scalable,
@@ -344,6 +356,15 @@ def refresh_rounds(
             # instead of O(index) — the steady-state cost that dominates an
             # incremental refresh at scale; None inherits the index's layout
             global_layout=global_layout,
+            # metadata_only_docs: the corpus table IS the immutable content
+            # store, so re-writing content into docs/ every round is a
+            # second O(corpus-bytes) write per window for nothing — the
+            # metadata-only docs table (build's content_source knob) stages
+            # ids/keys/sha only and phase A joins content by natural key
+            content_source=(
+                spark.read.parquet(corpus_path) if metadata_only_docs
+                else None
+            ),
         )
 
         # shard-coalescing policy on the fresh build's own metrics — no
@@ -367,6 +388,10 @@ def refresh_rounds(
             reshard_index(
                 spark, index_dir, docs_per_shard=docs_per_shard,
                 build_tag=f"reshard_round{rnd}",
+                content_source=(
+                    spark.read.parquet(corpus_path) if metadata_only_docs
+                    else None
+                ),
             )
             resharded = True
 
@@ -384,7 +409,10 @@ def refresh_rounds(
             os.path.join(workdir, f"negatives_round{rnd}")
         )
 
-        docs = spark.read.parquet(os.path.join(index_dir, "docs")).select(
+        # hydrate train-set text from the CORPUS table, not the index docs
+        # table: the two agree by construction, and the corpus always
+        # carries content while a metadata_only_docs index does not
+        docs = spark.read.parquet(corpus_path).select(
             "doc_id", F.col("content").alias("text")
         )
         train = build_train_set(

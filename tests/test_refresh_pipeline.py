@@ -485,6 +485,56 @@ def test_refresh_auto_reshard_bit_identical(spark, tmp_path):
     assert res_a == res_b and len(res_a) > 0
 
 
+def test_refresh_metadata_only_docs_equivalent(spark, tmp_path):
+    """The full incremental configuration (metadata-only docs table +
+    generational global layout) must produce bit-identical searches, MRR,
+    and train sets to the default configuration — the corpus table is the
+    content store, docs/ carries only metadata."""
+    from dense_retriever_spark.corpus import synth_corpus, synth_queries
+    from dense_retriever_spark.index.search import search
+    from dense_retriever_spark.pipeline import refresh_rounds
+
+    def batches():
+        return [synth_corpus(spark, 120, seed=55),
+                synth_corpus(spark, 60, seed=56)]
+
+    queries = synth_queries(spark, 6).selectExpr(
+        "query_id as qid", "query as text"
+    )
+    qrels = queries.select("qid", (F.col("qid") * 5 % 120).alias("doc_id"))
+
+    wd_a = str(tmp_path / "mo_off")
+    rounds_a = refresh_rounds(
+        spark, batches(), queries, qrels, wd_a, k=5, docs_per_shard=32,
+    )
+    wd_b = str(tmp_path / "mo_on")
+    rounds_b = refresh_rounds(
+        spark, batches(), queries, qrels, wd_b, k=5, docs_per_shard=32,
+        metadata_only_docs=True, global_layout="generational",
+    )
+    assert [r["mrr@5"] for r in rounds_a] == [r["mrr@5"] for r in rounds_b]
+
+    # the metadata-only index really has no content column
+    docs_b = spark.read.parquet(os.path.join(wd_b, "index", "docs"))
+    assert "content" not in docs_b.columns
+
+    probe = synth_queries(spark, 6)
+    res_a = sorted(map(tuple, search(
+        spark, os.path.join(wd_a, "index"), probe, k=5
+    ).collect()))
+    res_b = sorted(map(tuple, search(
+        spark, os.path.join(wd_b, "index"), probe, k=5
+    ).collect()))
+    assert res_a == res_b and len(res_a) > 0
+
+    # train sets hydrate identically (content came from the corpus table)
+    t_a = sorted(map(tuple, spark.read.parquet(
+        f"{wd_a}/train_set_round1").collect()))
+    t_b = sorted(map(tuple, spark.read.parquet(
+        f"{wd_b}/train_set_round1").collect()))
+    assert t_a == t_b and len(t_a) > 0
+
+
 def test_watermark_survives_compaction_across_invocations(spark, tmp_path):
     """The round-5 ADVICE hazard: a prior invocation's compaction removed
     the HIGHEST-id docs, so the next invocation's max(doc_id)+1 seed would
