@@ -198,9 +198,11 @@ def cmd_build_term_cache(args) -> None:
             .select("term", "df", "cf")
         ]
         if int(idx_stats.get("n_gens", 0)) > 0:
-            legs.append(
-                spark.read.parquet(paths.global_dir).select("term", "df", "cf")
-            )
+            g = spark.read.parquet(paths.global_dir)
+            gen_ids = idx_stats.get("gen_ids")
+            if gen_ids is not None:  # committed gens only (crash orphans)
+                g = g.filter(F.col("gen").isin([int(i) for i in gen_ids]))
+            legs.append(g.select("term", "df", "cf"))
         u = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
         stats = u.groupBy("term").agg(
             F.sum("df").alias("df"), F.sum("cf").alias("cf")

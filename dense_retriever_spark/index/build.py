@@ -449,8 +449,13 @@ def _phase_b_generational(
     n_shards: int,
     p: int,
     max_gens: int,
-) -> tuple[int, int]:
-    """Incremental phase B. Returns (genned_until, n_gens) for stats.json.
+) -> tuple[int, list[int]]:
+    """Incremental phase B. Returns (genned_until, gen_ids) for stats.json
+    — readers filter the gens scan to the COMMITTED id list, so a partial
+    gen dir left by a crashed build (visible to parquet partition
+    discovery, but never in _gens.json/stats.json, which are written last)
+    can't be double-counted; the next build re-merges into the same id and
+    overwrites it.
 
     Plan = pure function of (manifest, _gens.json): re-merge gens whose
     range fingerprint drifted (rebuilt/compacted shards), add one gen over
@@ -511,7 +516,19 @@ def _phase_b_generational(
         del out[i + 1]
 
     fs.write_text(_gens_meta_path(paths), json.dumps({"gens": out}), spark)
-    return (max((g["hi"] for g in out), default=0), len(out))
+    # sweep uncommitted gen dirs (a crashed build's partial write, or a
+    # folded-away id): readers already ignore them via stats.json's gen_ids
+    # filter, but leaving them would leak storage forever. O(listing).
+    live = {int(g["id"]) for g in out}
+    for name in fs.listdir(paths.global_dir, spark):
+        if name.startswith("gen="):
+            try:
+                gid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if gid not in live:
+                fs.delete(os.path.join(paths.global_dir, name), spark)
+    return (max((g["hi"] for g in out), default=0), [g["id"] for g in out])
 
 
 # --- the build ----------------------------------------------------------------
@@ -788,9 +805,10 @@ def build_index(
     # (measured 2 Exchanges vs 1; removed in round 2).
     p = merge_partitions or spark.sparkContext.defaultParallelism
     if layout == "generational":
-        genned_until, n_gens = _phase_b_generational(
+        genned_until, gen_ids = _phase_b_generational(
             spark, paths, n_shards, p, max_gens
         )
+        n_gens = len(gen_ids)
     else:
         shards_df = spark.read.parquet(paths.shards)
         merged = (
@@ -799,7 +817,7 @@ def build_index(
             .applyInPandas(_merge_term_groups, schema=GLOBAL_ROW_SCHEMA)
         )
         merged.write.mode("overwrite").parquet(paths.global_dir)
-        genned_until, n_gens = 0, 0
+        genned_until, gen_ids, n_gens = 0, [], 0
     mark("phase_b")
 
     # avgdl from the built index itself: total tokens == sum of cf over the
@@ -808,7 +826,10 @@ def build_index(
     # tail's cf comes from its shard rows (partition-pruned scan).
     if layout == "generational":
         gens_cf = (
-            spark.read.parquet(paths.global_dir).agg(F.sum("cf")).collect()[0][0]
+            spark.read.parquet(paths.global_dir)
+            .filter(F.col("gen").isin(gen_ids))  # committed gens only
+            .agg(F.sum("cf"))
+            .collect()[0][0]
             if n_gens
             else 0
         ) or 0
@@ -857,6 +878,7 @@ def build_index(
                 "global_layout": layout,
                 "genned_until": int(genned_until),
                 "n_gens": int(n_gens),
+                "gen_ids": [int(g) for g in gen_ids],
                 "metrics": {
                     "phase_seconds": dict(t),
                     "manifest_shards": int(roll["shards"]) if roll else 0,

@@ -148,15 +148,20 @@ def global_term_stats(
     partition-pruned). Term-predicate pushdown survives the union+aggregate
     (Catalyst pushes filters on grouping keys below the Aggregate and
     through the Union), so _term_pruned callers keep their row-group
-    pruning on every leg."""
+    pruning on every leg. The gens scan is filtered to stats.json's
+    COMMITTED gen id list: a partial gen dir left by a crashed build is
+    visible to partition discovery but never committed, and must not be
+    double-counted against the loose-tail leg."""
     paths = IndexPaths(index_dir)
     if stats.get("global_layout", "merged") != "generational":
         return spark.read.parquet(paths.global_dir)
     legs = []
+    gen_ids = stats.get("gen_ids")
     if int(stats.get("n_gens", 0)) > 0:
-        legs.append(
-            spark.read.parquet(paths.global_dir).select("term", "df")
-        )
+        g = spark.read.parquet(paths.global_dir)
+        if gen_ids is not None:
+            g = g.filter(F.col("gen").isin([int(i) for i in gen_ids]))
+        legs.append(g.select("term", "df"))
     gu = int(stats.get("genned_until", 0))
     legs.append(
         spark.read.parquet(paths.shards)

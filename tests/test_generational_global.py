@@ -87,6 +87,39 @@ def test_generational_equals_merged_and_incremental_is_o_window(
     assert _results(spark, g_idx, qs, query_mode="distributed") == want2
 
 
+def test_uncommitted_gen_dir_is_invisible_to_readers(spark, tmp_path):
+    """A partial gen=<id> dir left by a crashed build is visible to parquet
+    partition discovery but absent from stats.json's committed gen_ids —
+    readers must not count it (it would double every df it carries), and
+    the next build must reclaim the id and heal it."""
+    g_idx = str(tmp_path / "orphan_idx")
+    qs = synth_queries(spark, 8)
+    c1 = ingest(synth_corpus(spark, 300, seed=81)).localCheckpoint(eager=True)
+    build_index(c1, g_idx, docs_per_shard=32, term_buckets=2,
+                global_layout="generational")
+    want = _results(spark, g_idx, qs)
+
+    # fabricate the crash leftover: a copy of gen 0 under an uncommitted id
+    # (the worst case — every df in it would double-count if read)
+    import shutil
+
+    shutil.copytree(os.path.join(g_idx, "global", "gen=0"),
+                    os.path.join(g_idx, "global", "gen=99"))
+    assert _results(spark, g_idx, qs) == want
+    assert _results(spark, g_idx, qs, query_mode="distributed") == want
+
+    # the next build sweeps the uncommitted dir and results stay correct
+    c2 = c1.unionByName(
+        ingest(synth_corpus(spark, 100, seed=82))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(300))
+    ).localCheckpoint(eager=True)
+    build_index(c2, g_idx, docs_per_shard=32, term_buckets=2)
+    assert not os.path.exists(os.path.join(g_idx, "global", "gen=99"))
+    m_idx = str(tmp_path / "orphan_m")
+    build_index(c2, m_idx, docs_per_shard=32, term_buckets=2)
+    assert _results(spark, g_idx, qs) == _results(spark, m_idx, qs)
+
+
 def test_generational_staleness_on_compaction(spark, tmp_path):
     """compact_index rebuilds shards inside genned ranges — the fingerprint
     drift must re-merge exactly the affected gens, and post-compaction
