@@ -160,7 +160,9 @@ def test_error_path_releases_probe_cache(spark, emb, tmp_path):
     before = jsc.getPersistentRDDs().size()
     with pytest.raises(Exception):
         search_ann_index(spark, d, _queries(emb), k=K, nprobe=NPROBE)
-    assert jsc.getPersistentRDDs().size() == before
+    # <= not ==: other tests' async unpersists may drain between the two
+    # reads under a full-suite run; the leak under test would ADD an entry
+    assert jsc.getPersistentRDDs().size() <= before
 
 
 def test_shuffle_mode_bit_identical(spark, emb, ann_dir):
