@@ -772,6 +772,9 @@ def build_index(
                 F.min("term").alias("term_lo"),
                 F.max("term").alias("term_hi"),
                 F.sum(F.length("postings")).alias("bytes"),
+                # token total rides the manifest so stats never needs a
+                # postings-table scan (sum over shards == sum over global)
+                F.sum("cf").alias("cf_sum"),
             )
         )
         (
@@ -782,6 +785,7 @@ def build_index(
                 F.col("term_hi"),
                 F.coalesce(F.col("row_count"), F.lit(0)).alias("row_count"),
                 F.coalesce(F.col("bytes"), F.lit(0)).alias("bytes"),
+                F.coalesce(F.col("cf_sum"), F.lit(0)).alias("cf_sum"),
                 F.col("fp").alias("input_fingerprint"),
                 F.lit("complete").alias("status"),
                 F.lit(build_tag).alias("build_tag"),
@@ -820,11 +824,38 @@ def build_index(
         genned_until, gen_ids, n_gens = 0, [], 0
     mark("phase_b")
 
-    # avgdl from the built index itself: total tokens == sum of cf over the
-    # global term index (exactly len(tokenize(content)) summed over all
-    # docs). Generational layout: gens cover [0, genned_until); the loose
-    # tail's cf comes from its shard rows (partition-pruned scan).
-    if layout == "generational":
+    # structured build metrics (north star: 'lineage manifests ... and
+    # structured metrics'): phase timings + manifest roll-up, persisted with
+    # the index so every build leaves an auditable record. The roll-up ALSO
+    # yields total_tokens (sum of per-shard cf_sum == sum of cf over the
+    # global index, exactly len(tokenize(content)) summed over all docs) —
+    # one metadata-table agg instead of a postings-table scan per build.
+    m = _manifest_df(spark, paths)
+    roll = None
+    if m is not None:
+        agg_cols = [
+            F.count("*").alias("shards"),
+            F.sum("row_count").alias("posting_rows"),
+            F.sum("bytes").alias("posting_bytes"),
+        ]
+        has_cf = "cf_sum" in m.columns
+        if has_cf:
+            # count() counts NON-NULL rows: a manifest resumed from a build
+            # that predates cf_sum has null rows — trust the sum only when
+            # every shard row carries it, else fall back to the scan below
+            agg_cols += [
+                F.sum("cf_sum").alias("cf"),
+                F.count("cf_sum").alias("cf_rows"),
+            ]
+        roll = m.agg(*agg_cols).collect()[0]
+    if (
+        roll is not None
+        and "cf" in roll.asDict()
+        and roll["cf"] is not None
+        and int(roll["cf_rows"]) == int(roll["shards"])
+    ):
+        total_tokens = int(roll["cf"])
+    elif layout == "generational":
         gens_cf = (
             spark.read.parquet(paths.global_dir)
             .filter(F.col("gen").isin(gen_ids))  # committed gens only
@@ -847,20 +878,6 @@ def build_index(
             or 0
         )
     avgdl = float(total_tokens) / n_docs if n_docs else 0.0
-
-    # structured build metrics (north star: 'lineage manifests ... and
-    # structured metrics'): phase timings + manifest roll-up, persisted with
-    # the index so every build leaves an auditable record
-    m = _manifest_df(spark, paths)
-    roll = (
-        m.agg(
-            F.count("*").alias("shards"),
-            F.sum("row_count").alias("posting_rows"),
-            F.sum("bytes").alias("posting_bytes"),
-        ).collect()[0]
-        if m is not None
-        else None
-    )
     mark("stats_metrics")
     fs.write_text(
         paths.stats,
