@@ -387,9 +387,16 @@ def _range_fingerprints(
 ) -> dict[tuple[int, int], tuple[str, int]]:
     """{(lo, hi): (fingerprint, posting_bytes)} over the CURRENT manifest —
     one pass, ranges bucketed with a when-chain (gen count is policy-bounded,
-    so the chain stays small). The fingerprint is a sha over the range's
-    sorted (shard_id, input_fingerprint) rows: any rebuild, orphan sweep, or
-    compaction inside the range changes it, which is what marks a gen stale."""
+    so the chain stays small). The fingerprint is ORDER-INDEPENDENT and
+    COMBINABLE — count plus an exact decimal sum of per-row
+    xxhash64(shard_id:input_fingerprint) — so per-group aggregation state is
+    O(1) even for a folded gen spanning most of the index (a sorted
+    collect_list here would materialize one array per gen on a single task,
+    the driver-/task-proportional-state class this engine bans; decimal sum
+    because ANSI long addition overflows). Any rebuild, orphan sweep, or
+    compaction inside the range changes the value, which is what marks a
+    gen stale; accidental collision odds are the same 2^-64 class as the
+    per-shard fingerprint scheme."""
     man = _manifest_df(spark, paths)
     if man is None or not ranges:
         return {}
@@ -403,16 +410,14 @@ def _range_fingerprints(
         .filter(F.col("_r").isNotNull())
         .groupBy("_r")
         .agg(
-            F.sha2(
-                F.concat_ws(
-                    ",",
-                    F.array_sort(
-                        F.collect_list(
-                            F.concat_ws(":", "shard_id", "input_fingerprint")
-                        )
-                    ),
+            F.concat_ws(
+                ":",
+                F.count("*"),
+                F.sum(
+                    F.xxhash64(
+                        F.concat_ws(":", "shard_id", "input_fingerprint")
+                    ).cast("decimal(28,0)")
                 ),
-                256,
             ).alias("fp"),
             F.sum("bytes").alias("bytes"),
         )
