@@ -454,13 +454,25 @@ def _phase_b_generational(
     n_shards: int,
     p: int,
     max_gens: int,
+    protected_ids: tuple[int, ...] | list[int] = (),
 ) -> tuple[int, list[int]]:
     """Incremental phase B. Returns (genned_until, gen_ids) for stats.json
     — readers filter the gens scan to the COMMITTED id list, so a partial
     gen dir left by a crashed build (visible to parquet partition
     discovery, but never in _gens.json/stats.json, which are written last)
-    can't be double-counted; the next build re-merges into the same id and
-    overwrites it.
+    can't be double-counted.
+
+    COPY-FORWARD commit protocol: a committed gen id is NEVER overwritten
+    or deleted mid-build. Stale re-merges and folds write a FRESH gen id,
+    the new id set is committed via _gens.json here and stats.json by the
+    caller, and superseded dirs are reclaimed only once no committed
+    stats.json references them (``protected_ids`` = the PREVIOUS build's
+    committed set, so a reader serving off the old stats.json keeps every
+    dir it can see until the next build's sweep). A crash anywhere in
+    phase B therefore leaves the old committed view fully intact — the
+    fresh dirs are uncommitted garbage the next build overwrites or
+    sweeps, and no reader ever observes a range both in its old gen and a
+    folded successor (the double-count hazard of in-place overwrite).
 
     Plan = pure function of (manifest, _gens.json): re-merge gens whose
     range fingerprint drifted (rebuilt/compacted shards), add one gen over
@@ -471,6 +483,7 @@ def _phase_b_generational(
     instead of chaining every gen into the next."""
     fs.mkdirs(paths.global_dir, spark)
     gens = _read_gens(spark, paths)
+    protected = {int(i) for i in protected_ids}
     genned_until = max((g["hi"] for g in gens), default=0)
     tail = n_shards - 1
     new_range = (genned_until, tail) if tail > genned_until else None
@@ -480,16 +493,21 @@ def _phase_b_generational(
     fps = _range_fingerprints(spark, paths, check)
 
     out: list[dict] = []
-    next_id = max((g["id"] for g in gens), default=-1) + 1
+    # fresh ids must clear every id any committed metadata may reference
+    # (crashed partial dirs above this max are uncommitted → overwrite-safe)
+    next_id = max([g["id"] for g in gens] + sorted(protected), default=-1) + 1
     for g in gens:
         cur = fps.get((g["lo"], g["hi"]))
         if cur is None:
-            # every shard in the range vanished (orphan sweep) — drop the gen
-            fs.delete(_gen_dir(paths, g["id"]), spark)
+            # every shard in the range vanished (orphan sweep) — drop the
+            # gen from the new commit; its dir is reclaimed by the sweep
+            # once no committed stats.json references it
             continue
         if cur[0] != g["fp"]:  # stale: a genned shard was rebuilt
-            _merge_range_to_gen(spark, paths, g["id"], g["lo"], g["hi"], p)
-            g = {**g, "fp": cur[0], "bytes": cur[1]}
+            _merge_range_to_gen(spark, paths, next_id, g["lo"], g["hi"], p)
+            g = {"id": next_id, "lo": g["lo"], "hi": g["hi"],
+                 "fp": cur[0], "bytes": cur[1]}
+            next_id += 1
         out.append(g)
     if new_range and new_range in fps:
         _merge_range_to_gen(spark, paths, next_id, *new_range, p)
@@ -513,25 +531,34 @@ def _phase_b_generational(
         )
         a, b = out[i], out[i + 1]
         lo, hi = a["lo"], b["hi"]
-        _merge_range_to_gen(spark, paths, a["id"], lo, hi, p)
-        fs.delete(_gen_dir(paths, b["id"]), spark)
+        # copy-forward: fold into a FRESH id; a/b dirs stay untouched until
+        # the post-commit sweep (readers on the old stats.json still need
+        # them, and a crash here must leave the old committed view whole)
+        _merge_range_to_gen(spark, paths, next_id, lo, hi, p)
         fp = _range_fingerprints(spark, paths, [(lo, hi)])[(lo, hi)]
-        out[i] = {"id": a["id"], "lo": lo, "hi": hi,
+        out[i] = {"id": next_id, "lo": lo, "hi": hi,
                   "fp": fp[0], "bytes": fp[1]}
+        next_id += 1
         del out[i + 1]
 
-    fs.write_text(_gens_meta_path(paths), json.dumps({"gens": out}), spark)
-    # sweep uncommitted gen dirs (a crashed build's partial write, or a
-    # folded-away id): readers already ignore them via stats.json's gen_ids
-    # filter, but leaving them would leak storage forever. O(listing).
-    live = {int(g["id"]) for g in out}
+    fs.write_text_atomic(
+        _gens_meta_path(paths), json.dumps({"gens": out}), spark
+    )
+    # sweep gen dirs no committed metadata can reference: not in the new
+    # commit (``out``) and not in the PREVIOUS build's committed stats.json
+    # (``protected``). Superseded-but-protected dirs survive one build and
+    # are reclaimed here next time, once stats.json has moved off them —
+    # the storage cost is one window's worth of superseded gens, the gain
+    # is that a concurrent reader never loses a dir it was promised.
+    # O(listing).
+    keep = {int(g["id"]) for g in out} | protected
     for name in fs.listdir(paths.global_dir, spark):
         if name.startswith("gen="):
             try:
                 gid = int(name.split("=", 1)[1])
             except ValueError:
                 continue
-            if gid not in live:
+            if gid not in keep:
                 fs.delete(os.path.join(paths.global_dir, name), spark)
     return (max((g["hi"] for g in out), default=0), [g["id"] for g in out])
 
@@ -605,6 +632,7 @@ def build_index(
     from dense_retriever_spark.index.codec import FORMAT_VERSION
 
     prev_layout = None
+    prev_gen_ids: list[int] = []
     if fs.exists(paths.stats, spark):
         prev = json.loads(fs.read_text(paths.stats, spark))
         pv = prev.get("format_version", 1)
@@ -623,6 +651,9 @@ def build_index(
                 "pass the original value or use a fresh index directory"
             )
         prev_layout = prev.get("global_layout", "merged")
+        # the copy-forward sweep must keep every gen dir the CURRENTLY
+        # committed stats.json references (a serving reader's view)
+        prev_gen_ids = [int(i) for i in (prev.get("gen_ids") or [])]
     if global_layout is not None and global_layout not in (
         "merged", "generational"
     ):
@@ -815,7 +846,8 @@ def build_index(
     p = merge_partitions or spark.sparkContext.defaultParallelism
     if layout == "generational":
         genned_until, gen_ids = _phase_b_generational(
-            spark, paths, n_shards, p, max_gens
+            spark, paths, n_shards, p, max_gens,
+            protected_ids=prev_gen_ids,
         )
         n_gens = len(gen_ids)
     else:
@@ -884,7 +916,10 @@ def build_index(
         )
     avgdl = float(total_tokens) / n_docs if n_docs else 0.0
     mark("stats_metrics")
-    fs.write_text(
+    # atomic replace: stats.json is the reader-visible commit point for the
+    # whole build (incl. the generational gen_ids set) — a serving reader
+    # polling it must never observe a truncated half-write
+    fs.write_text_atomic(
         paths.stats,
         json.dumps(
             {

@@ -32,10 +32,18 @@ from pyspark.sql import SparkSession
 
 
 def _active_spark(spark: SparkSession | None) -> SparkSession:
-    s = spark or SparkSession.getActiveSession()
-    if s is None:
+    if spark is not None:
+        return spark
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        return s
+    # getActiveSession is THREAD-local: a serving thread that didn't create
+    # the session (e.g. a reader polling stats.json concurrently with a
+    # build) sees None — fall back to the process's default session
+    try:
+        return SparkSession.active()
+    except Exception:
         raise RuntimeError("a SparkSession is required for filesystem access")
-    return s
 
 
 @contextmanager
@@ -132,3 +140,26 @@ def write_text(path: str, content: str, spark: SparkSession | None = None) -> No
             out.write(bytearray(content.encode("utf-8")))
         finally:
             out.close()
+
+
+def write_text_atomic(
+    path: str, content: str, spark: SparkSession | None = None
+) -> None:
+    """Replace ``path`` so a CONCURRENT reader sees either the old or the
+    new content, never a truncated half-write: write to a ``.inprogress``
+    sibling, then rename over the target. On POSIX-backed local/file://
+    the rename overwrites atomically (File.renameTo); stores whose rename
+    refuses an existing destination (HDFS semantics) fall back to
+    delete+rename — a vanishingly small absent-window instead of a
+    partial-content window, and the committed-metadata files this is used
+    for (stats.json, _gens.json) are re-readable by retry. The plain
+    ``write_text`` truncates in place and must not be used for any file a
+    serving reader polls."""
+    tmp = path + ".inprogress"
+    write_text(tmp, content, spark)
+    with _fs_path(spark, path) as (s, fs, p):
+        src = s._jvm.org.apache.hadoop.fs.Path(tmp)
+        if not fs.rename(src, p):
+            fs.delete(p, False)
+            if not fs.rename(src, p):
+                raise OSError(f"atomic replace {tmp} -> {path} refused")
