@@ -8,15 +8,17 @@ local[$SPARK_GRAFT_CPUS]:
   q_build_metaonly — the same build with a METADATA-ONLY docs table (content
                      joined from the immutable input at build time — the
                      100 TB storage knob, build_index(content_source=...))
-  q_search_indexed — 100-query top-10 via the block-max engine on that index
+  q_search_indexed — 100-query top-10 via the block-max engine on that
+                     index, COLD (term-df cache cleared), median of 3
   q_search_tombstoned — the same 100 queries with a ~14% kill-list applied
                      (block-max stays live on masked postings)
   q_search_bigbatch_dist — 5k queries on the distributed plane, median of 3
   q_stream_refresh_round — one drain→refresh→ack window: ~10k new docs
                      folded incrementally into the existing corpus index
-                     (the steady-state cost of the cron-driven deployment)
-  q_stream_refresh_round_gen — the same window with the generational
-                     global layout (phase B merges O(window), not O(index))
+                     (the steady-state cost of the cron-driven deployment);
+                     runs the DEFAULT configuration = generational layout
+  q_stream_refresh_round_merged — the same window with the merged global
+                     layout (pre-round-7 default; O(index) phase B merge)
   q_bm25_exact     — index-free exact BM25 (the oracle path) on documents
   q_dedup_minhash  — MinHash-LSH candidate pairs + Jaccard verify on documents
   q_cosine_topk    — brute-force cosine top-3 on embeddings
@@ -125,7 +127,22 @@ def main() -> None:
     def run_search():
         return search(spark, idx_dir, queries, k=10, use_blockmax=True).count()
 
-    timed("q_search_indexed", run_search)
+    # COLD search = REPEAT-MEDIAN of 3 (round-6 verdict: the single-shot
+    # number false-regressed 2× on box noise two rounds running — same
+    # treatment bigbatch got in round 6). Each run is genuinely cold on the
+    # engine side: the per-build term→df cache is cleared so every run pays
+    # the global-stats job + the scoring scan; JVM/py-workers stay warm
+    # across runs, exactly like the bigbatch protocol.
+    from dense_retriever_spark.index.search import _term_df_cache_clear
+
+    search_runs: list[float] = []
+    for _ in range(3):
+        _term_df_cache_clear()
+        t0 = time.time()
+        run_search()
+        search_runs.append(round(time.time() - t0, 3))
+    timings["q_search_indexed"] = sorted(search_runs)[1]
+    extra["search_runs_seconds"] = search_runs
     extra["search_p50_ms_per_query"] = round(
         timings["q_search_indexed"] / 100 * 1000, 2
     )
@@ -207,6 +224,9 @@ def main() -> None:
         "query_id as qid", "query as text"
     )
     rqrels = rq.select("qid", (F.col("qid") * 7 % 1000).alias("doc_id"))
+    # DEFAULT configuration — which as of round 7 is the GENERATIONAL
+    # global layout (refresh_rounds' default): the out-of-box steady-state
+    # window cost. The explicit 'merged' variant below is the comparison.
     refresh_rounds(
         spark, [spark.read.parquet(stage_root + "/corpus")], rq, rqrels, wd,
         k=10, docs_per_shard=dps, dedup_exact=True,
@@ -230,32 +250,31 @@ def main() -> None:
     )
     shutil.rmtree(wd, ignore_errors=True)
 
-    # the same window with the GENERATIONAL global layout: phase B merges
-    # only the shards the window touched (O(window)) instead of re-merging
-    # the whole index (O(index)) — the incremental-mode configuration a
-    # 100 TB deployment runs. Same protocol, separate workdir.
-    wdg = tempfile.mkdtemp(prefix="bench_refresh_gen_", dir=shm)
+    # the same window with the MERGED global layout (the pre-round-7
+    # default, kept as the comparison): phase B re-merges the whole index
+    # (O(index)) where the generational default merges O(window).
+    wdg = tempfile.mkdtemp(prefix="bench_refresh_merged_", dir=shm)
     refresh_rounds(
         spark, [spark.read.parquet(stage_root + "/corpus")], rq, rqrels, wdg,
         k=10, docs_per_shard=dps, dedup_exact=True,
-        global_layout="generational",
+        global_layout="merged",
     )
     arrivals_g = wdg + "/arrivals"
     synth_corpus(spark, 10_000, seed=99).write.parquet(arrivals_g)
 
-    def stream_refresh_round_gen():
+    def stream_refresh_round_merged():
         b = drain_corpus_stream(
             spark, arrivals_g, wdg + "/staging", wdg + "/ckpt"
         )
         refresh_rounds(
             spark, [b], rq, rqrels, wdg, k=10, docs_per_shard=dps,
-            dedup_exact=True, start_round=1,
+            dedup_exact=True, start_round=1, global_layout="merged",
         )
         ack_corpus_batch(spark, wdg + "/staging", b)
 
-    timed("q_stream_refresh_round_gen", stream_refresh_round_gen)
-    extra["stream_refresh_gen_docs_per_sec"] = round(
-        10_000 / timings["q_stream_refresh_round_gen"], 1
+    timed("q_stream_refresh_round_merged", stream_refresh_round_merged)
+    extra["stream_refresh_merged_docs_per_sec"] = round(
+        10_000 / timings["q_stream_refresh_round_merged"], 1
     )
     shutil.rmtree(wdg, ignore_errors=True)
 

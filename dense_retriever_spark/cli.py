@@ -565,8 +565,12 @@ def main(argv=None) -> None:
                     help="act on the per-round should_reshard policy "
                          "verdict (always recorded in metrics) by "
                          "coalescing sparse shards mid-loop")
-    rf.add_argument("--global-layout", default=None,
-                    choices=["merged", "generational"])
+    rf.add_argument("--global-layout", default="generational",
+                    choices=["merged", "generational"],
+                    help="default 'generational': the refresh loop is the "
+                         "incremental mode — per-window gen merges are "
+                         "O(window), bit-identical to 'merged', and faster; "
+                         "pass 'merged' to opt out")
     rf.add_argument("--metadata-only-docs", action="store_true",
                     help="stage a metadata-only docs table; content joins "
                          "from the corpus at build time (no second "
@@ -587,8 +591,9 @@ def main(argv=None) -> None:
     sr.add_argument("--compact-fraction", type=float, default=0.1)
     sr.add_argument("--compact-min-ids", type=int, default=10_000_000)
     sr.add_argument("--auto-reshard", action="store_true")
-    sr.add_argument("--global-layout", default=None,
-                    choices=["merged", "generational"])
+    sr.add_argument("--global-layout", default="generational",
+                    choices=["merged", "generational"],
+                    help="default 'generational' (see refresh)")
     sr.add_argument("--metadata-only-docs", action="store_true")
     sr.set_defaults(fn=cmd_stream_refresh)
 

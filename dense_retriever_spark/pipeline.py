@@ -138,7 +138,7 @@ def refresh_rounds(
     auto_reshard: bool = False,
     reshard_min_avg_bytes: int = 4 << 20,
     reshard_min_shards: int = 64,
-    global_layout: str | None = None,
+    global_layout: str | None = "generational",
     metadata_only_docs: bool = False,
 ) -> list[dict]:
     """Run one refresh round per corpus batch. Returns per-round metrics.
@@ -204,6 +204,14 @@ def refresh_rounds(
     with ``global_layout='generational'`` for the full incremental
     configuration: per window, no corpus-sized write and no index-sized
     merge.
+
+    ``global_layout`` DEFAULTS to ``'generational'`` here (round-7): the
+    refresh loop is the incremental mode, and the O(window) gen merge is
+    bit-identical to the merged layout (oracle-gated) and measured faster
+    — out of the box a steady-state window no longer re-merges the whole
+    index. A workdir whose index was built merged is switched on its next
+    round (one O(index) re-merge, then O(window) forever). Pass ``None``
+    to inherit the existing index's layout, or ``'merged'`` to opt out.
     """
     from dense_retriever_spark.index.build import (
         assign_doc_ids_scalable,
@@ -385,6 +393,19 @@ def refresh_rounds(
             )
             factor = max(2, -(-reshard_min_avg_bytes // max(int(avg), 1)))
             docs_per_shard = int(docs_per_shard) * int(factor)
+            # a leftover _reshard_staging from a reshard that crashed in a
+            # PRIOR invocation is staler than the docs table build_index
+            # just rebuilt from the authoritative corpus — resuming from it
+            # (reshard_index's unconditional staging-resume, correct when
+            # docs/ provenance is unknown) would drop this round's batch
+            # from the index until the next round self-heals. Here the
+            # corpus table is authoritative and docs/ is freshly derived
+            # from it, so the stale snapshot is safe to discard.
+            from dense_retriever_spark.index import fs as _idx_fs
+
+            _idx_fs.delete(
+                os.path.join(index_dir, "_reshard_staging"), spark
+            )
             reshard_index(
                 spark, index_dir, docs_per_shard=docs_per_shard,
                 build_tag=f"reshard_round{rnd}",
