@@ -129,9 +129,12 @@ def _term_df_cache_clear() -> None:
         _TERM_DF_CACHE.clear()
         _TERM_DF_SIZES.clear()
 
-#: warn when a tombstone list crosses the documented broadcast ceiling —
-#: past this, compaction (build.compact_index / the `compact` CLI) is the
-#: intended operation, not a bigger broadcast.
+#: the tombstone broadcast ceiling: below it a kill-list collects to a
+#: sorted driver array riding the score broadcast (latency fast path);
+#: past it the list automatically stays a Spark relation cogrouped with
+#: the shard scan (_excl_plan — O(1) driver state at any size) and a
+#: RuntimeWarning recommends compaction (build.compact_index / the
+#: `compact` CLI), which removes the per-query masking cost permanently.
 TOMBSTONE_WARN_IDS = 10_000_000
 
 
@@ -304,27 +307,48 @@ def _term_pruned(
     return df.join(F.broadcast(tdf), "term", "left_semi")
 
 
-def _collect_excl(exclude_doc_ids: DataFrame | None) -> np.ndarray | None:
-    """Kill-list → sorted driver array (documented ceiling; warn past it)."""
+def _excl_plan(
+    exclude_doc_ids: DataFrame | None, docs_per_shard: int
+) -> tuple[np.ndarray | None, DataFrame | None]:
+    """Kill-list routing: (driver_array, shard_keyed_relation) — exactly one
+    is non-None when a kill-list is given.
+
+    Below ``TOMBSTONE_WARN_IDS`` the list collects to a sorted driver array
+    and rides the score broadcast (the fast path: zero extra shuffles on the
+    latency plane). ABOVE the ceiling nothing is materialized on the driver:
+    the probe collects at most ceiling+1 distinct ids, and the full list
+    stays a Spark relation keyed by shard, cogrouped with the shard scan so
+    each scorer receives exactly its slice — driver state is O(1) at any
+    kill-list size. Masking still happens BEFORE top-k selection inside the
+    scorer (an anti-join on the k-row result would lose recall when a
+    query's whole top-k is tombstoned), and block-max stays live on the
+    masked postings either way. A list past the ceiling still warns:
+    compaction (build.compact_index / pipeline.apply_kill_list) removes the
+    per-query masking cost permanently."""
     if exclude_doc_ids is None:
-        return None
-    excl = np.unique(
-        np.array(
-            [r[0] for r in exclude_doc_ids.select("doc_id").collect()],
-            dtype=np.int64,
-        )
+        return None, None
+    ids = exclude_doc_ids.select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).distinct()
+    head = ids.limit(TOMBSTONE_WARN_IDS + 1).collect()
+    if len(head) <= TOMBSTONE_WARN_IDS:
+        arr = np.sort(np.array([r[0] for r in head], dtype=np.int64))
+        return (arr if arr.size else None), None
+    warnings.warn(
+        f"tombstone list exceeds {TOMBSTONE_WARN_IDS} ids — switching to "
+        "the distributed kill-list plane (ids stay a Spark relation "
+        "cogrouped with the shard scan; nothing is collected to the "
+        "driver). At this size a compaction event is cheaper per query: "
+        "run build.compact_index (or the `compact` CLI) to drop the "
+        "kill-list physically; pipeline.apply_kill_list automates the "
+        "threshold decision",
+        RuntimeWarning,
+        stacklevel=4,
     )
-    if excl.size > TOMBSTONE_WARN_IDS:
-        warnings.warn(
-            f"tombstone list has {excl.size} ids — past the ~1e7 broadcast "
-            "ceiling this should be a compaction event: run "
-            "build.compact_index (or the `compact` CLI) to drop the "
-            "kill-list physically; pipeline.apply_kill_list automates the "
-            "threshold decision",
-            RuntimeWarning,
-            stacklevel=3,
-        )
-    return excl
+    flat = ids.withColumn(
+        "shard", (F.col("doc_id") / docs_per_shard).cast("long")
+    )
+    return None, flat
 
 
 def _finish(
@@ -379,11 +403,14 @@ def search(
     typically a dedup kill-list (dedup_exact / connected_components output) —
     removed EXACTLY at query time without rebuilding the index; block-max
     pruning stays live (blocks re-derived from the masked postings, see
-    _score_shard). The list is collected and broadcast (fine to ~10^7 ids; a
-    RuntimeWarning fires past that); a kill-list beyond the ceiling is a
-    compaction event: ``compact_index`` / the ``compact`` CLI rebuilds
-    exactly the affected shards, and ``pipeline.apply_kill_list`` automates
-    the tombstone-vs-compact decision.
+    _score_shard). Below ~10^7 ids the list is collected and broadcast (the
+    latency fast path); past that ceiling it automatically stays a Spark
+    relation cogrouped with the shard scan (O(1) driver state at any size,
+    see _excl_plan) and a RuntimeWarning recommends compaction: a kill-list
+    that large is a compaction event — ``compact_index`` / the ``compact``
+    CLI rebuilds exactly the affected shards, and
+    ``pipeline.apply_kill_list`` automates the tombstone-vs-compact
+    decision.
 
     ``include_doc_ids``: optional (doc_id) DataFrame of ALLOWED docs —
     metadata-filtered search (e.g. ``docs.filter(lang == 'py')``); only these
@@ -491,12 +518,20 @@ def _search_broadcast(
         for t in missing:
             vals[t] = found.get(t, -1.0)  # -1 = OOV, cached too
         with _TERM_DF_LOCK:
-            added = 0
-            for t in missing:
-                if t not in dfs:
-                    added += len(t) + _TERM_DF_ENTRY_OVERHEAD
-                dfs[t] = vals[t]
-            if cache_key in _TERM_DF_SIZES:
+            # re-fetch under the lock: between the two locked sections a
+            # concurrent thread may have EVICTED this build and another
+            # RE-INSERTED a fresh dict at the same key — updating the dict
+            # captured under the first lock would then add `added` bytes
+            # (computed against the orphaned dict) to the fresh entry's
+            # size accounting, inflating it into premature trims/evictions.
+            # A changed dict object is treated exactly like the evicted
+            # case: serve vals, let the fresh entry's owner account for it.
+            if _TERM_DF_CACHE.get(cache_key) is dfs:
+                added = 0
+                for t in missing:
+                    if t not in dfs:
+                        added += len(t) + _TERM_DF_ENTRY_OVERHEAD
+                    dfs[t] = vals[t]
                 _TERM_DF_SIZES[cache_key] += added
                 _term_df_evict(cache_key)
                 build_bytes = _TERM_DF_SIZES.get(cache_key, 0)
@@ -509,8 +544,9 @@ def _search_broadcast(
                     _TERM_DF_SIZES[cache_key] = sum(
                         len(t) + _TERM_DF_ENTRY_OVERHEAD for t in dfs
                     )
-            # else: this build was evicted by a concurrent thread between
-            # the collect and here — serve vals, don't resurrect the entry
+            # else: this build was evicted (possibly evicted-then-replaced)
+            # by a concurrent thread between the collect and here — serve
+            # vals, don't resurrect or double-account the entry
     idfs = {
         t: idf_fn(v, float(n_docs)) for t, v in vals.items() if v >= 0.0
     }
@@ -526,7 +562,7 @@ def _search_broadcast(
     # of task payload at 733 shards × a 100 KB query set), a broadcast ships
     # once per executor and scales to very large query batches.
     dps = stats["docs_per_shard"]
-    excl = _collect_excl(exclude_doc_ids)
+    excl, excl_rel = _excl_plan(exclude_doc_ids, dps)
     bc = spark.sparkContext.broadcast((qmap, idfs, excl))
     shard_rows = (
         _term_pruned(spark.read.parquet(paths.shards), present, spark)
@@ -534,7 +570,7 @@ def _search_broadcast(
                 "block_max_tf", "block_min_dl")
     )
 
-    if include_doc_ids is None:
+    if include_doc_ids is None and excl_rel is None:
 
         def _score(pdf):
             q, i, x = bc.value
@@ -544,25 +580,46 @@ def _search_broadcast(
             _score, schema=RESULT_SCHEMA,
         )
     else:
-        # allowed ids cogrouped with the shard scan: each shard's scorer
-        # sees exactly its slice, nothing is collected to the driver
-        incl_flat = include_doc_ids.select(
-            F.col("doc_id").cast("long").alias("doc_id")
-        ).withColumn("shard", (F.col("doc_id") / dps).cast("long"))
-        shard_rows = shard_rows.join(
-            incl_flat.select("shard").distinct(), "shard", "left_semi"
-        )
+        # allowed ids (and, past the broadcast ceiling, tombstoned ids)
+        # cogrouped with the shard scan: each shard's scorer sees exactly
+        # its slice, nothing is collected to the driver. Both masks ride
+        # ONE right relation (xm=True marks kill-list rows) — cogroup has a
+        # single right slot and a second shuffle per mask would double the
+        # exchange.
+        has_include = include_doc_ids is not None
+        has_excl_rel = excl_rel is not None
+        legs = []
+        if has_include:
+            incl_flat = include_doc_ids.select(
+                F.col("doc_id").cast("long").alias("doc_id")
+            ).withColumn("shard", (F.col("doc_id") / dps).cast("long"))
+            legs.append(incl_flat.select(
+                "shard", "doc_id", F.lit(False).alias("xm")
+            ))
+            shard_rows = shard_rows.join(
+                incl_flat.select("shard").distinct(), "shard", "left_semi"
+            )
+        if has_excl_rel:
+            legs.append(excl_rel.select(
+                "shard", "doc_id", F.lit(True).alias("xm")
+            ))
+        right_rel = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
 
         def _score_co(left, right):
             q, i, x = bc.value
-            incl = np.unique(right["doc_id"].to_numpy(np.int64))
+            xm = right["xm"].to_numpy(dtype=bool)
+            ids_r = right["doc_id"].to_numpy(np.int64)
+            incl = np.unique(ids_r[~xm]) if has_include else None
+            if has_excl_rel:
+                xs = ids_r[xm]
+                x = np.sort(xs) if xs.size else None
             return _score_shard(
                 left, q, i, k, k1, b, avgdl, dps, use_blockmax, x, incl
             )
 
         local = (
             shard_rows.groupby("shard")
-            .cogroup(incl_flat.groupby("shard"))
+            .cogroup(right_rel.groupby("shard"))
             .applyInPandas(_score_co, schema=RESULT_SCHEMA)
         )
     return _finish(spark, local, k, eager, [bc])
@@ -621,6 +678,7 @@ def _search_distributed(
     q_shard = qti.join(presence, "term").select(
         "shard", "query_id", "term", "df",
         F.lit(None).cast("long").alias("doc_id"),
+        F.lit(False).alias("xm"),
     )
 
     shard_rows = spark.read.parquet(paths.shards).select(
@@ -651,13 +709,29 @@ def _search_distributed(
                 F.lit(None).cast("string").alias("term"),
                 F.lit(None).cast("long").alias("df"),
                 "doc_id",
+                F.lit(False).alias("xm"),
             )
         )
         shard_rows = shard_rows.join(
             incl_flat.select("shard").distinct(), "shard", "left_semi"
         )
 
-    excl = _collect_excl(exclude_doc_ids)
+    excl, excl_rel = _excl_plan(exclude_doc_ids, dps)
+    has_excl_rel = excl_rel is not None
+    if has_excl_rel:
+        # past the broadcast ceiling the kill-list rides the same right
+        # relation too (term NULL + xm=True) — fully distributed, O(1)
+        # driver state at any kill-list size
+        q_shard = q_shard.unionByName(
+            excl_rel.select(
+                "shard",
+                F.lit(None).cast("long").alias("query_id"),
+                F.lit(None).cast("string").alias("term"),
+                F.lit(None).cast("long").alias("df"),
+                "doc_id",
+                F.lit(True).alias("xm"),
+            )
+        )
     bcs = []
     bc_excl = None
     if excl is not None:
@@ -666,6 +740,10 @@ def _search_distributed(
 
     def _score_dist(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         x = bc_excl.value if bc_excl is not None else None
+        if has_excl_rel:
+            sel = right["term"].isna() & right["xm"]
+            xs = right.loc[sel, "doc_id"].to_numpy(np.int64)
+            x = np.sort(xs) if xs.size else None
         qpart = right[right["term"].notna()]
         # sorted-term accumulation order == broadcast plane's sorted(set())
         qpart = qpart.sort_values(["query_id", "term"], kind="mergesort")
@@ -681,9 +759,8 @@ def _search_distributed(
                 idfs[t] = idf_fn(float(df_), float(n_docs))
         incl = None
         if has_include:
-            incl = np.unique(
-                right.loc[right["term"].isna(), "doc_id"].to_numpy(np.int64)
-            )
+            sel_i = right["term"].isna() & ~right["xm"]
+            incl = np.unique(right.loc[sel_i, "doc_id"].to_numpy(np.int64))
         return _score_shard(
             left, qmap, idfs, k, k1, b, avgdl, dps, use_blockmax, x, incl
         )

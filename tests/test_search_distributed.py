@@ -108,6 +108,55 @@ def test_tombstone_ceiling_warns(spark, idx, tiny_corpus, tiny_queries, monkeypa
         search(spark, idx, tiny_queries, k=10, exclude_doc_ids=kill)
 
 
+def test_tombstones_past_ceiling_stay_distributed(
+    spark, idx, tiny_corpus, tiny_queries, monkeypatch
+):
+    """Round-7 ask #5: past the broadcast ceiling the kill-list must flow as
+    a Spark relation — bit-identical results on BOTH query planes (alone and
+    composed with an include filter), and the full list is NEVER collected
+    to the driver: the only driver-side materialization allowed is the
+    bounded ceiling+1-row probe."""
+    kill = tiny_corpus.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    allowed = tiny_corpus.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    # ground truth with the (default) array fast path
+    want = _rows(search(spark, idx, tiny_queries, k=10, exclude_doc_ids=kill))
+    want_both = _rows(search(
+        spark, idx, tiny_queries, k=10,
+        exclude_doc_ids=kill, include_doc_ids=allowed,
+    ))
+
+    ceiling = 5  # kill-list is far larger than this
+    assert kill.count() > ceiling
+    monkeypatch.setattr(search_mod, "TOMBSTONE_WARN_IDS", ceiling)
+
+    # guard: no driver-side collect may exceed ceiling+1 rows of the
+    # kill-list relation (the probe); np.sort over anything larger means
+    # the list was materialized
+    import numpy as _np
+
+    real_sort = _np.sort
+
+    def guarded_sort(a, *args, **kw):
+        if getattr(a, "ndim", 0) == 1 and a.size > ceiling + 1:
+            raise AssertionError(
+                f"driver materialized {a.size} tombstone ids past the probe"
+            )
+        return real_sort(a, *args, **kw)
+
+    monkeypatch.setattr(search_mod.np, "sort", guarded_sort)
+    for kw in (
+        {"exclude_doc_ids": kill},
+        {"exclude_doc_ids": kill, "include_doc_ids": allowed},
+    ):
+        expected = want if "include_doc_ids" not in kw else want_both
+        for mode in ("broadcast", "distributed"):
+            with pytest.warns(RuntimeWarning, match="distributed kill-list"):
+                got = _rows(search(
+                    spark, idx, tiny_queries, k=10, query_mode=mode, **kw
+                ))
+            assert got == expected and len(got) > 0, (mode, kw.keys())
+
+
 def test_term_df_cache_amortizes_stats_job(spark, tmp_path):
     """Broadcast plane: the second search against the same build must (a)
     return bit-identical results and (b) run one fewer Spark job (the
