@@ -105,6 +105,55 @@ def _list_batch_dirs(
     return out
 
 
+def _migrate_legacy_staging(spark: SparkSession, staging_dir: str) -> None:
+    """Upgrade pre-partitioned staging in place (at-least-once across the
+    format change). The staging layout used to be flat appended part files
+    carrying a ``_stream_batch`` data column; it is now ``stream_batch=N``
+    partition dirs. Flat legacy files are invisible to ``_list_batch_dirs``
+    and the partition-column window filter, so staged-but-unacked legacy
+    rows would silently never drain again after an upgrade (and a
+    mixed-layout ``spark.read.parquet`` can fail outright). On every drain:
+    rewrite any flat part files into partition dirs under their original
+    batch ids, then delete them. A crash mid-migration leaves both copies
+    live — re-detected and re-migrated next drain, so rows can duplicate
+    but never vanish; duplicates are removed downstream by the refresh
+    loop's content-sha dedup, the same path that absorbs any other replay
+    inside the at-least-once window."""
+    import os
+
+    from dense_retriever_spark.index import fs
+
+    legacy = [
+        n for n in fs.listdir(staging_dir, spark) if n.startswith("part-")
+    ]
+    if not legacy:
+        return
+    rows = spark.read.parquet(
+        *[os.path.join(staging_dir, n) for n in legacy]
+    )
+    if "_stream_batch" not in rows.columns:
+        raise ValueError(
+            f"staging dir {staging_dir} holds flat parquet files without a "
+            "_stream_batch column — not this engine's legacy staging "
+            "format, refusing to guess their batch ids: drain+ack them "
+            "with the version that wrote them, or move them out of the "
+            "staging directory"
+        )
+    (
+        rows.withColumn(
+            "stream_batch", F.col("_stream_batch").cast("long")
+        )
+        .drop("_stream_batch")
+        .write.mode("append")
+        .partitionBy("stream_batch")
+        .parquet(staging_dir)
+    )
+    # delete AFTER the rewrite commits: the failure window duplicates, never
+    # drops (see docstring)
+    for n in legacy:
+        fs.delete(os.path.join(staging_dir, n), spark)
+
+
 def _read_consumed(spark: SparkSession, staging_dir: str) -> int:
     import json
 
@@ -198,6 +247,7 @@ def drain_corpus_stream(
     batches with O(1) directory deletes — staging holds only the unacked
     tail, not an ever-growing archive.
     """
+    _migrate_legacy_staging(spark, staging_dir)
     drained: list[int] = []
 
     def _sink(bdf: DataFrame, batch_id: int) -> None:

@@ -582,6 +582,68 @@ def test_watermark_survives_compaction_across_invocations(spark, tmp_path):
     assert json.load(open(f"{workdir}/_watermark.json"))["next_doc_id"] == 70
 
 
+def test_drain_migrates_legacy_flat_staging(spark, tmp_path):
+    """Round-6 ADVICE: staging written by the pre-partitioned format (flat
+    part files carrying a ``_stream_batch`` data column) must keep its
+    at-least-once guarantee across the layout upgrade — on drain, legacy
+    files are rewritten into ``stream_batch=N`` partition dirs under their
+    original batch ids and removed, unacked legacy rows re-deliver, and a
+    flat file that is NOT the legacy format fails loudly instead of being
+    assigned a guessed batch id."""
+    import shutil
+
+    import pytest
+
+    from dense_retriever_spark.corpus import synth_corpus
+    from dense_retriever_spark.streaming.refresh import (
+        ack_corpus_batch,
+        drain_corpus_stream,
+    )
+
+    in_dir = str(tmp_path / "arr_lg")
+    staging = str(tmp_path / "stage_lg")
+    ckpt = str(tmp_path / "ck_lg")
+
+    # establish the new-format checkpoint + durable marker: drain+ack once
+    synth_corpus(spark, 10, seed=8).write.mode("append").parquet(in_dir)
+    b1 = drain_corpus_stream(spark, in_dir, staging, ckpt)
+    assert b1.count() == 10
+    ack_corpus_batch(spark, staging, b1)
+
+    def flat_files():
+        return sorted(n for n in os.listdir(staging) if n.startswith("part-"))
+
+    # simulate rows staged by the OLD version after the marker: flat part
+    # files at the staging root, batch id carried in a _stream_batch column
+    legacy_id = int(b1.hi) + 1
+    legacy = synth_corpus(spark, 8, seed=9).withColumn(
+        "_stream_batch", F.lit(legacy_id)
+    )
+    tmp_out = str(tmp_path / "legacy_out")
+    legacy.coalesce(2).write.parquet(tmp_out)
+    for n in os.listdir(tmp_out):
+        if n.startswith("part-"):
+            shutil.move(os.path.join(tmp_out, n), os.path.join(staging, n))
+    assert len(flat_files()) == 2
+
+    # no new arrivals: the drain must still surface the 8 legacy rows, and
+    # the staging dir must be pure partition-dir layout afterwards
+    b2 = drain_corpus_stream(spark, in_dir, staging, ckpt)
+    assert b2.count() == 8
+    assert flat_files() == []
+    assert f"stream_batch={legacy_id}" in os.listdir(staging)
+    ack_corpus_batch(spark, staging, b2)
+    assert drain_corpus_stream(spark, in_dir, staging, ckpt).count() == 0
+
+    # a flat file withOUT a _stream_batch column is not ours to guess at
+    alien = str(tmp_path / "alien_out")
+    synth_corpus(spark, 3, seed=10).coalesce(1).write.parquet(alien)
+    [apart] = [n for n in os.listdir(alien) if n.startswith("part-")]
+    shutil.move(os.path.join(alien, apart), os.path.join(staging, apart))
+    with pytest.raises(ValueError, match="_stream_batch"):
+        drain_corpus_stream(spark, in_dir, staging, ckpt)
+
+
 def test_drain_multi_microbatch_window(spark, tmp_path):
     """A single drain whose backlog spans several micro-batches
     (maxFilesPerTrigger=64) must return ALL of them as one window."""
