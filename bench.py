@@ -17,6 +17,9 @@ local[$SPARK_GRAFT_CPUS]:
                      folded incrementally into the existing corpus index
                      (the steady-state cost of the cron-driven deployment);
                      runs the DEFAULT configuration = generational layout
+  q_compact_genned_range — compact a ~5% kill slice inside genned ranges:
+                     touched-shard rebuild + stale-gen stats re-aggregate
+                     (the full compaction wave, O(touched), round 7)
   q_stream_refresh_round_merged — the same window with the merged global
                      layout (pre-round-7 default; O(index) phase B merge)
   q_bm25_exact     — index-free exact BM25 (the oracle path) on documents
@@ -248,6 +251,28 @@ def main() -> None:
     extra["stream_refresh_docs_per_sec"] = round(
         10_000 / timings["q_stream_refresh_round"], 1
     )
+
+    # compaction wave under the generational default (round-7 ask #4):
+    # compact a contiguous ~5% slice inside genned ranges. compact_index's
+    # internal rebuild re-runs phase B, so this ONE call is the whole wave —
+    # phase A rebuilds only the touched shards (fingerprint skip for the
+    # rest) and phase B re-aggregates only the stale gens, at stats-only
+    # (term, df, cf) cost instead of a postings-bytes merge. The per-phase
+    # split lands in the artifact.
+    from dense_retriever_spark.index.build import compact_index
+    from dense_retriever_spark.index.search import load_stats
+
+    n_idx = int(load_stats(wd + "/index")["n_docs"])
+    ckill = spark.range(0, int(n_idx * 0.05)).select(
+        F.col("id").alias("doc_id")
+    )
+    timed(
+        "q_compact_genned_range",
+        lambda: compact_index(spark, wd + "/index", ckill),
+    )
+    extra["compact_phase_seconds"] = load_stats(wd + "/index")["metrics"][
+        "phase_seconds"
+    ]
     shutil.rmtree(wd, ignore_errors=True)
 
     # the same window with the MERGED global layout (the pre-round-7

@@ -308,6 +308,26 @@ def cmd_build_ann_index(args) -> None:
     print(json.dumps({"index": paths.root, "meta": load_ann_meta(paths.root)}))
 
 
+def cmd_refresh_ann(args) -> None:
+    spark = _spark(args)
+    from dense_retriever_spark.index.ann import maintain_ann_index
+
+    emb = (
+        spark.read.parquet(args.embeddings)
+        if args.embeddings
+        else None
+    )
+    meta = maintain_ann_index(
+        spark, args.index_dir, emb,
+        id_col=args.id_col, vec_col=args.vec_col,
+        assume_new_ids=args.assume_new_ids,
+        auto_recluster=not args.no_recluster,
+        growth_factor=args.growth_factor,
+        max_coherence_drop=args.max_coherence_drop,
+    )
+    print(json.dumps({"index": args.index_dir, "meta": meta}))
+
+
 def cmd_ann_search(args) -> None:
     spark = _spark(args)
     from pyspark.sql import functions as F
@@ -542,6 +562,29 @@ def main(argv=None) -> None:
                     help="keep hits where vec_id == query id")
     an.add_argument("--out", required=True)
     an.set_defaults(fn=cmd_ann_search)
+
+    ra = sub.add_parser(
+        "refresh-ann",
+        help="fold a window of new vectors into an existing ANN index "
+             "O(window) and act on the recluster policy — the per-window "
+             "maintenance call of a stream-refresh deployment serving both "
+             "the BM25 index and the ANN artifact",
+    )
+    ra.add_argument("--index-dir", required=True)
+    ra.add_argument("--embeddings", default=None,
+                    help="parquet of NEW (id, embedding) rows; omit to "
+                         "only evaluate/act on the recluster policy")
+    ra.add_argument("--id-col", default="vec_id")
+    ra.add_argument("--vec-col", default="embedding")
+    ra.add_argument("--assume-new-ids", action="store_true",
+                    help="skip the replay-dedup anti-join (strictly "
+                         "O(window)) — safe when ids are fresh by "
+                         "construction, e.g. the refresh loop's new doc ids")
+    ra.add_argument("--no-recluster", action="store_true",
+                    help="report should_recluster in the meta but don't act")
+    ra.add_argument("--growth-factor", type=float, default=4.0)
+    ra.add_argument("--max-coherence-drop", type=float, default=0.1)
+    ra.set_defaults(fn=cmd_refresh_ann)
 
     rf = sub.add_parser("refresh")
     rf.add_argument("--corpus-batches", required=True,

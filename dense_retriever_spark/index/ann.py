@@ -166,7 +166,8 @@ def build_ann_index(
         )
         .collect()[0]
     )
-    fs.write_text(
+    coh = None if row["coh"] is None else round(float(row["coh"]), 6)
+    fs.write_text_atomic(
         paths.meta,
         json.dumps(
             {
@@ -174,9 +175,12 @@ def build_ann_index(
                 "n_centroids": n_centroids,
                 "quantizer": quantizer,
                 "n_vectors": int(row["n"]),
-                "mean_top1_cosine": (
-                    None if row["coh"] is None else round(float(row["coh"]), 6)
-                ),
+                "mean_top1_cosine": coh,
+                # train-time reference points for should_recluster: how far
+                # the incrementally-refreshed index has drifted from the
+                # state its quantizer was actually trained on
+                "n_at_train": int(row["n"]),
+                "coherence_at_train": coh,
                 "seed": seed,
             }
         ),
@@ -332,3 +336,210 @@ def search_ann_index(
     except BaseException:
         probes.unpersist()
         raise
+
+
+# --- incremental maintenance (round-7 ask #6) ---------------------------------
+#
+# The BM25 index refreshes O(window) per stream-refresh round; before round 7
+# the ANN artifact rebuilt from scratch, so a deployment serving both paid
+# O(corpus) per window anyway. The incremental protocol mirrors IVF practice
+# (FAISS add-with-existing-quantizer): new vectors are assigned to the
+# EXISTING centroids (O(window × K)) and appended to their cells; the
+# quantizer itself is retrained only when the maintenance policy says the
+# index has drifted from what the centroids were trained on — the
+# should_reshard-style decision the BM25 side already has.
+
+def refresh_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_new_ids: bool = False,
+) -> dict:
+    """Fold a window of new vectors into an existing ANN index — O(window).
+
+    New vectors are assigned to the EXISTING centroids with the exact
+    assignment rule of ``build_ann_index`` (top-1 by rounded-cosine DESC,
+    centroid_id ASC), appended to their cell partitions (old cell files are
+    never rewritten — the O(window) property), and the meta's vector count
+    and coherence statistic are updated as an exact weighted blend (the
+    running mean over ALL assignments, old and new). Returns the updated
+    meta dict.
+
+    Idempotent under replay by default: ids already present in cells/ are
+    dropped by an anti-join before assignment, so a crashed-then-retried
+    refresh window (the at-least-once drain protocol upstream) appends each
+    vector once. That anti-join is a column-pruned scan of cells' vec_id —
+    cheap relative to a rebuild, but O(index) rows; a caller whose ids are
+    fresh by construction (the refresh loop: new docs get new doc ids)
+    passes ``assume_new_ids=True`` to skip it and stay strictly O(window).
+
+    Commit order: cells append, then meta (atomic replace). A crash between
+    the two leaves the appended vectors searchable (searches scan cells/,
+    not the meta counts) with a stale meta — healed by the retry, which
+    dedups the ids and rewrites the meta.
+
+    The quantizer is NOT retrained here — centroids are what makes the
+    append O(window). Check ``should_recluster(meta)`` after refreshing and
+    run ``recluster_ann_index`` when it fires (``maintain_ann_index`` does
+    both)."""
+    from dense_retriever_spark.index import fs
+    from dense_retriever_spark.operators.similarity import cosine_expr
+    from dense_retriever_spark.operators.topk import topk_per_group
+    from pyspark import StorageLevel
+
+    meta = load_ann_meta(index_dir, spark)
+    paths = AnnIndexPaths(index_dir)
+    new = new_embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("evec")
+    )
+    if not assume_new_ids:
+        new = new.join(
+            spark.read.parquet(paths.cells).select("vec_id"),
+            "vec_id",
+            "left_anti",
+        )
+    cents_b = F.broadcast(spark.read.parquet(paths.centroids))
+    scored = new.crossJoin(cents_b).select(
+        "vec_id", "evec", "centroid_id",
+        cosine_expr(F.col("evec"), F.col("cvec")).alias("cdot"),
+    )
+    asg = (
+        topk_per_group(scored, "vec_id", "cdot", 1, id_col="centroid_id")
+        .select("vec_id", "evec", "centroid_id", "cdot")
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    try:
+        row = asg.agg(
+            F.count("*").alias("n"), F.sum("cdot").alias("s")
+        ).collect()[0]
+        n_w = int(row["n"])
+        if n_w == 0:
+            return meta
+        (
+            asg.drop("cdot")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(paths.cells)
+        )
+    finally:
+        asg.unpersist()
+    n_old = int(meta["n_vectors"])
+    coh_old = meta.get("mean_top1_cosine")
+    old_sum = (coh_old or 0.0) * n_old
+    meta["n_vectors"] = n_old + n_w
+    meta["mean_top1_cosine"] = round(
+        (old_sum + float(row["s"])) / (n_old + n_w), 6
+    )
+    fs.write_text_atomic(paths.meta, json.dumps(meta), spark)
+    return meta
+
+
+def should_recluster(
+    meta: dict,
+    growth_factor: float = 4.0,
+    max_coherence_drop: float = 0.1,
+) -> bool:
+    """The quantizer-retrain policy (the ANN twin of ``should_reshard``).
+
+    A fixed-K quantizer degrades two ways as an index refreshes past its
+    training set. GROWTH: probe cost per query is ~(nprobe/K)·N, so cells
+    fatten linearly with N — once the index is ``growth_factor``× its
+    train-time size, K should be re-chosen (recluster defaults it toward
+    the standard ~4·√N IVF rule). DRIFT: if the incoming distribution moved
+    away from the training distribution, new vectors sit far from every
+    centroid and the running mean top-1 cosine sags below its train-time
+    value — cells stop capturing neighborhoods and recall decays (the same
+    statistic the noise-regime warning keys on). Reads only the meta dict —
+    no Spark job."""
+    n = int(meta.get("n_vectors", 0))
+    n0 = int(meta.get("n_at_train", n) or 0)
+    coh = meta.get("mean_top1_cosine")
+    coh0 = meta.get("coherence_at_train")
+    grown = n0 > 0 and n >= growth_factor * n0
+    drifted = (
+        coh is not None
+        and coh0 is not None
+        and (float(coh0) - float(coh)) >= max_coherence_drop
+    )
+    return grown or drifted
+
+
+def recluster_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    n_centroids: int | None = None,
+    quantizer: str | None = None,
+    seed: int | None = None,
+) -> AnnIndexPaths:
+    """Retrain the quantizer over the index's own vectors and rebuild the
+    cell layout — the maintenance event ``should_recluster`` fires.
+
+    ``n_centroids`` defaults to max(current K, round(4·√N)) — the standard
+    IVF sizing rule, never shrinking K; quantizer/seed default to the
+    index's own. Crash-safe the same way reshard_index is: cells/ is MOVED
+    aside to ``_recluster_staging`` (one rename — the staged table is the
+    one copy known complete), the rebuild reads the staged vectors and
+    overwrites centroids/ + cells/ + meta, and staging is deleted only
+    after success. A re-run that finds leftover staging resumes from it
+    unconditionally — a cells/ dir present alongside staging may be a
+    partial rewrite and is never trusted."""
+    import math
+
+    from dense_retriever_spark.index import fs
+
+    meta = load_ann_meta(index_dir, spark)
+    paths = AnnIndexPaths(index_dir)
+    staging = os.path.join(paths.root, "_recluster_staging")
+    if fs.exists(staging, spark):
+        fs.delete(paths.cells, spark)
+    else:
+        fs.rename(paths.cells, staging, spark)
+    vecs = spark.read.parquet(staging).select("vec_id", "evec")
+    k = n_centroids or max(
+        int(meta["n_centroids"]),
+        int(round(4 * math.sqrt(max(int(meta["n_vectors"]), 1)))),
+    )
+    out = build_ann_index(
+        vecs,
+        index_dir,
+        n_centroids=k,
+        quantizer=quantizer or meta["quantizer"],
+        id_col="vec_id",
+        vec_col="evec",
+        seed=meta["seed"] if seed is None else seed,
+    )
+    fs.delete(staging, spark)
+    return out
+
+
+def maintain_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_new_ids: bool = False,
+    auto_recluster: bool = True,
+    growth_factor: float = 4.0,
+    max_coherence_drop: float = 0.1,
+) -> dict:
+    """One maintenance window: fold the new vectors in O(window), then act
+    on the recluster policy. Returns the final meta dict plus a
+    ``reclustered`` key — the per-window call a stream-refresh deployment
+    makes right after its BM25 refresh round."""
+    if new_embeddings is not None:
+        refresh_ann_index(
+            spark, index_dir, new_embeddings, id_col, vec_col,
+            assume_new_ids=assume_new_ids,
+        )
+    meta = load_ann_meta(index_dir, spark)
+    fire = should_recluster(meta, growth_factor, max_coherence_drop)
+    reclustered = False
+    if auto_recluster and fire:
+        recluster_ann_index(spark, index_dir)
+        meta = load_ann_meta(index_dir, spark)
+        fire = should_recluster(meta, growth_factor, max_coherence_drop)
+        reclustered = True
+    return {**meta, "reclustered": reclustered, "should_recluster": fire}

@@ -347,24 +347,32 @@ def _merge_term_groups(pdf: pd.DataFrame):
 # only the handful of shards a refresh window touched. At 100 TB that makes
 # the steady-state incremental window pay a full-index shuffle per run. The
 # "generational" layout is the LSM/Lucene-segment answer: global/ holds
-# gen=<id>/ directories, each the term-merge of one contiguous IMMUTABLE
-# shard range; the volatile tail shard (still receiving appends) stays out of
-# any gen and its term stats are read from shards/ directly. Per window the
-# build merges only the shards that became immutable since the last gen —
-# O(window), not O(index). Staleness (a compaction/recrawl rebuilding a
-# genned shard) is detected by comparing each gen's stored fingerprint —
-# sha over the range's (shard_id, input_fingerprint) manifest rows — against
-# the current manifest, so recovery is a pure function of on-disk state
+# gen=<id>/ directories, each the STATS-ONLY (term, df, cf) aggregate of one
+# contiguous IMMUTABLE shard range; the volatile tail shard (still receiving
+# appends) stays out of any gen and its term stats are read from shards/
+# directly. Per window the build aggregates only the shards that became
+# immutable since the last gen — O(window), not O(index). Staleness (a
+# compaction/recrawl rebuilding a genned shard) is detected by comparing
+# each gen's stored fingerprint — an order-independent combinable hash over
+# the range's (shard_id, input_fingerprint) manifest rows — against the
+# current manifest, so recovery is a pure function of on-disk state
 # (crash-safe: a half-applied build is re-detected and re-merged). A fold
 # policy bounds the generation count by merging the adjacent pair with the
 # smallest combined byte size (amortized like Lucene's tiered merges).
 #
 # Searches never scan gens for scoring (the serving path scores shards/);
 # gens serve (term, df) statistics, aggregated across gens + the loose tail
-# by search.global_term_stats. Reference analog: the single merged index the
-# reference persists (/root/reference/dense_retriever/transforms/
-# ann_index.py:87-98), generalized to segments so incremental refresh
-# windows stay O(new docs).
+# by search.global_term_stats. That is why gens carry NO postings (round 7,
+# gen-aware compaction): merged postings in gens were consumed by nothing,
+# yet made every stale re-merge and fold shuffle the range's posting bytes —
+# so a compaction wave whose fingerprint drift touched every gen re-paid an
+# index-sized merge. Stats-only gens make any re-merge a partial-aggregated
+# (term, df, cf) groupBy: a compaction wave costs a term-dictionary-sized
+# aggregate at any index size. Users who want the single full-postings
+# artifact build with global_layout='merged' (the reference-parity shape:
+# /root/reference/dense_retriever/transforms/ann_index.py:87-98); the
+# generational mode is the incremental-refresh configuration where that
+# artifact would be rebuilt wholesale every window anyway.
 
 def _gens_meta_path(paths: IndexPaths) -> str:
     # underscore name: invisible to Spark's partition discovery over global/
@@ -434,17 +442,28 @@ def _merge_range_to_gen(
     gen_id: int,
     lo: int,
     hi: int,
-    p: int,
 ) -> None:
-    """Term-merge shards [lo, hi) into global/gen=<id>/ — the same one-
-    exchange xxhash64(term) grouping as the merged layout, restricted to the
-    range (partition-pruned scan of shards/)."""
+    """Aggregate shards [lo, hi) into global/gen=<id>/ as STATS-ONLY rows
+    (term, df, cf) — round 7, the gen-aware-compaction change. Gens serve
+    ONLY term statistics (global_term_stats / the term-cache export); the
+    serving path scores shards/, and the full-postings merged artifact
+    remains the 'merged' layout's global/. Carrying merged postings in gens
+    bought nothing and made every stale re-merge (compaction fingerprint
+    drift) and fold pay a postings-bytes shuffle over the whole range —
+    O(range index bytes). As a plain groupBy aggregate the merge is
+    partial-aggregated map-side and shuffles only (term, df, cf) rows, so a
+    compaction wave that staleness-marks every gen now re-merges at
+    term-dictionary cost, not index cost, and the window gen of a refresh
+    round is metadata-sized. Partition-pruned scan of shards/ either way;
+    parquet never reads the postings column (column pruning). Old
+    postings-bearing gen dirs stay readable — every consumer selects only
+    (term, df, cf), which both formats carry."""
     rows = spark.read.parquet(paths.shards).filter(
         (F.col("shard") >= lo) & (F.col("shard") < hi)
     )
-    merged = rows.groupBy(
-        F.pmod(F.xxhash64("term"), F.lit(p)).alias("_g")
-    ).applyInPandas(_merge_term_groups, schema=GLOBAL_ROW_SCHEMA)
+    merged = rows.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
     merged.write.mode("overwrite").parquet(_gen_dir(paths, gen_id))
 
 
@@ -452,7 +471,6 @@ def _phase_b_generational(
     spark: SparkSession,
     paths: IndexPaths,
     n_shards: int,
-    p: int,
     max_gens: int,
     protected_ids: tuple[int, ...] | list[int] = (),
 ) -> tuple[int, list[int]]:
@@ -504,13 +522,13 @@ def _phase_b_generational(
             # once no committed stats.json references it
             continue
         if cur[0] != g["fp"]:  # stale: a genned shard was rebuilt
-            _merge_range_to_gen(spark, paths, next_id, g["lo"], g["hi"], p)
+            _merge_range_to_gen(spark, paths, next_id, g["lo"], g["hi"])
             g = {"id": next_id, "lo": g["lo"], "hi": g["hi"],
                  "fp": cur[0], "bytes": cur[1]}
             next_id += 1
         out.append(g)
     if new_range and new_range in fps:
-        _merge_range_to_gen(spark, paths, next_id, *new_range, p)
+        _merge_range_to_gen(spark, paths, next_id, *new_range)
         out.append(
             {
                 "id": next_id,
@@ -534,7 +552,7 @@ def _phase_b_generational(
         # copy-forward: fold into a FRESH id; a/b dirs stay untouched until
         # the post-commit sweep (readers on the old stats.json still need
         # them, and a crash here must leave the old committed view whole)
-        _merge_range_to_gen(spark, paths, next_id, lo, hi, p)
+        _merge_range_to_gen(spark, paths, next_id, lo, hi)
         fp = _range_fingerprints(spark, paths, [(lo, hi)])[(lo, hi)]
         out[i] = {"id": next_id, "lo": lo, "hi": hi,
                   "fp": fp[0], "bytes": fp[1]}
@@ -846,7 +864,7 @@ def build_index(
     p = merge_partitions or spark.sparkContext.defaultParallelism
     if layout == "generational":
         genned_until, gen_ids = _phase_b_generational(
-            spark, paths, n_shards, p, max_gens,
+            spark, paths, n_shards, max_gens,
             protected_ids=prev_gen_ids,
         )
         n_gens = len(gen_ids)
@@ -933,6 +951,10 @@ def build_index(
                 "term_buckets": term_buckets,
                 "build_tag": build_tag,
                 "global_layout": layout,
+                # gens are stats-only (term, df, cf) as of round 7; readers
+                # never needed more, so the marker is documentation, not a
+                # compat gate — old postings-bearing gen dirs still read
+                "gen_format": "stats" if layout == "generational" else None,
                 "genned_until": int(genned_until),
                 "n_gens": int(n_gens),
                 "gen_ids": [int(g) for g in gen_ids],

@@ -140,6 +140,8 @@ def refresh_rounds(
     reshard_min_shards: int = 64,
     global_layout: str | None = "generational",
     metadata_only_docs: bool = False,
+    ann_index_dir: str | None = None,
+    ann_batches: list[DataFrame] | None = None,
 ) -> list[dict]:
     """Run one refresh round per corpus batch. Returns per-round metrics.
 
@@ -212,6 +214,16 @@ def refresh_rounds(
     index. A workdir whose index was built merged is switched on its next
     round (one O(index) re-merge, then O(window) forever). Pass ``None``
     to inherit the existing index's layout, or ``'merged'`` to opt out.
+
+    ``ann_index_dir`` + ``ann_batches`` (round-7): maintain a persisted ANN
+    artifact alongside the BM25 index, O(window) per round. ``ann_batches``
+    is one (vec_id, embedding) DataFrame per corpus batch (the window's new
+    vectors — in a real deployment the encoder output for the window's
+    docs). Round 0 against an empty dir builds the artifact; every later
+    round folds the window in with ``maintain_ann_index`` — assignment to
+    the EXISTING centroids plus the recluster policy (growth / coherence
+    drift), so the artifact no longer rebuilds O(corpus) per window. The
+    per-round metrics record the vector count and whether a retrain fired.
     """
     from dense_retriever_spark.index.build import (
         assign_doc_ids_scalable,
@@ -453,6 +465,29 @@ def refresh_rounds(
             k=k,
         )
         round_mrr = float(mrr(rr).collect()[0]["mrr"])
+
+        ann_meta = None
+        if ann_index_dir is not None and ann_batches is not None:
+            from dense_retriever_spark.index import fs as _ann_fs
+            from dense_retriever_spark.index.ann import (
+                AnnIndexPaths,
+                build_ann_index,
+                load_ann_meta,
+                maintain_ann_index,
+            )
+
+            ann_batch = ann_batches[rnd - int(start_round)]
+            if not _ann_fs.exists(AnnIndexPaths(ann_index_dir).meta, spark):
+                build_ann_index(ann_batch, ann_index_dir)
+                ann_meta = {
+                    **load_ann_meta(ann_index_dir, spark),
+                    "reclustered": False,
+                }
+            else:
+                # default replay-dedup (vec ids are the caller's, not the
+                # loop's fresh doc ids — replays must not duplicate cells)
+                ann_meta = maintain_ann_index(spark, ann_index_dir, ann_batch)
+
         summary = {
             "round": rnd,
             "n_docs": int(n_docs_now),
@@ -466,6 +501,12 @@ def refresh_rounds(
         if dedup_near:
             summary["near_dup_killed"] = int(n_kill)
             summary["compacted"] = bool(compacted)
+        if ann_meta is not None:
+            summary["ann"] = {
+                "n_vectors": int(ann_meta["n_vectors"]),
+                "n_centroids": int(ann_meta["n_centroids"]),
+                "reclustered": bool(ann_meta.get("reclustered", False)),
+            }
         with open(os.path.join(workdir, f"metrics_round{rnd}.json"), "w") as f:
             json.dump(summary, f)
         rounds.append(summary)

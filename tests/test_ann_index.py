@@ -201,3 +201,175 @@ def test_kmeans_quantizer_roundtrip(spark, emb, tmp_path):
     for r in got:
         by_q.setdefault(r["query_vec_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+# --- incremental maintenance (round-7 ask #6) ---------------------------------
+
+def _clustered(spark, lo, hi, sigma=0.08, dim=16, n_clusters=8, seed=1234):
+    """Strongly-clustered deterministic vectors for ids [lo, hi) — the
+    regime the IVF quantizer is built for (tools/bench_ann_recall.py)."""
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        rs = np.random.RandomState(seed)
+        centers = rs.randn(n_clusters, dim)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(dtype=int)
+            out = np.empty((len(ids), dim), dtype=np.float32)
+            for j, i in enumerate(ids):
+                r = np.random.RandomState((seed * 1_000_003 + i) % (2**31))
+                v = centers[i % n_clusters] + sigma * r.randn(dim)
+                out[j] = v / np.linalg.norm(v)
+            yield pd.DataFrame({"vec_id": ids, "embedding": list(out)})
+
+    return spark.range(lo, hi).mapInPandas(
+        gen, "vec_id long, embedding array<float>"
+    )
+
+
+def _qset(emb_df, ids):
+    return emb_df.filter(F.col("vec_id").isin(ids)).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("embedding").alias("qvec"),
+    )
+
+
+def test_refresh_appends_o_window_and_matches_inline(spark, tmp_path):
+    """refresh_ann_index must (a) leave every pre-existing cell file
+    byte-untouched (the O(window) property), (b) make the window's vectors
+    searchable, and (c) be bit-identical to the inline operator run over
+    the UNION corpus with the index's own centroids — i.e. the incremental
+    path changes nothing but when the assignment happened."""
+    import glob as _glob
+    import os as _os
+
+    from dense_retriever_spark.index.ann import refresh_ann_index
+    from dense_retriever_spark.operators.similarity import ivf_ann_topk
+
+    d = str(tmp_path / "ann_inc")
+    base = _clustered(spark, 0, 400).localCheckpoint(eager=True)
+    build_ann_index(base, d, n_centroids=16, quantizer="hash")
+    before = {
+        p: _os.path.getmtime(p)
+        for p in _glob.glob(_os.path.join(d, "cells", "**", "*.parquet"),
+                            recursive=True)
+    }
+    assert before
+
+    win = _clustered(spark, 400, 600).localCheckpoint(eager=True)
+    meta = refresh_ann_index(spark, d, win, assume_new_ids=True)
+    assert meta["n_vectors"] == 600
+    assert meta["n_at_train"] == 400  # train-time reference untouched
+    after = {
+        p: _os.path.getmtime(p)
+        for p in _glob.glob(_os.path.join(d, "cells", "**", "*.parquet"),
+                            recursive=True)
+    }
+    for p, mt in before.items():
+        assert after[p] == mt, f"pre-existing cell file rewritten: {p}"
+
+    union = base.unionByName(win)
+    qs = _qset(union, [3, 410, 599]).localCheckpoint(eager=True)
+    cents = spark.read.parquet(d + "/centroids")
+    want = sorted(map(tuple, ivf_ann_topk(
+        union, qs, k=K, nprobe=NPROBE, centroids=cents
+    ).collect()))
+    got = sorted(map(tuple, search_ann_index(
+        spark, d, qs, k=K, nprobe=NPROBE
+    ).collect()))
+    assert got == want and len(got) > 0
+
+    # a window vector finds itself at rank 1 when self-hits are kept
+    self_hit = search_ann_index(
+        spark, d, _qset(union, [599]), k=1, nprobe=NPROBE,
+        exclude_self=False,
+    ).collect()
+    assert [(r["vec_id"], r["rank"]) for r in self_hit] == [(599, 1)]
+
+
+def test_refresh_replay_is_idempotent(spark, tmp_path):
+    """The at-least-once drain upstream can replay a window; the default
+    anti-join dedup must make the second application a no-op (no duplicate
+    cell rows, meta unchanged)."""
+    from dense_retriever_spark.index.ann import refresh_ann_index
+
+    d = str(tmp_path / "ann_replay")
+    build_ann_index(
+        _clustered(spark, 0, 200).localCheckpoint(eager=True),
+        d, n_centroids=8,
+    )
+    win = _clustered(spark, 200, 260).localCheckpoint(eager=True)
+    m1 = refresh_ann_index(spark, d, win)
+    assert m1["n_vectors"] == 260
+    m2 = refresh_ann_index(spark, d, win)  # replayed window
+    assert m2["n_vectors"] == 260 and m2["mean_top1_cosine"] == m1["mean_top1_cosine"]
+    assert spark.read.parquet(d + "/cells").count() == 260
+    assert (
+        spark.read.parquet(d + "/cells").select("vec_id").distinct().count()
+        == 260
+    )
+
+
+def test_should_recluster_policy():
+    from dense_retriever_spark.index.ann import should_recluster
+
+    base = {
+        "n_vectors": 100, "n_at_train": 100,
+        "mean_top1_cosine": 0.6, "coherence_at_train": 0.6,
+    }
+    assert not should_recluster(base)
+    assert should_recluster({**base, "n_vectors": 400})          # growth
+    assert should_recluster({**base, "mean_top1_cosine": 0.45})  # drift
+    assert not should_recluster({**base, "n_vectors": 399,
+                                 "mean_top1_cosine": 0.51})
+    # missing statistics (old meta) must not crash or fire the drift arm
+    assert not should_recluster(
+        {"n_vectors": 100, "n_at_train": 100, "mean_top1_cosine": None,
+         "coherence_at_train": None}
+    )
+
+
+def test_maintain_reclusters_on_growth_and_recall_holds(spark, tmp_path):
+    """Growing the index 4x past its training set must fire the recluster
+    policy; after the retrain the index must beat brute-force-verified
+    recall >= 0.9 on strongly-clustered data (the round-7 'recall
+    re-measured' gate) and the policy must be reset."""
+    from dense_retriever_spark.index.ann import (
+        load_ann_meta,
+        maintain_ann_index,
+    )
+    from dense_retriever_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    d = str(tmp_path / "ann_grow")
+    build_ann_index(
+        _clustered(spark, 0, 300).localCheckpoint(eager=True),
+        d, n_centroids=8,
+    )
+    win = _clustered(spark, 300, 1200).localCheckpoint(eager=True)
+    out = maintain_ann_index(
+        spark, d, win, assume_new_ids=True, auto_recluster=True,
+    )
+    assert out["reclustered"] is True and out["should_recluster"] is False
+    meta = load_ann_meta(d, spark)
+    assert meta["n_vectors"] == 1200 and meta["n_at_train"] == 1200
+    assert meta["n_centroids"] >= 8  # the ~4*sqrt(N) re-sizing never shrinks
+
+    union = _clustered(spark, 0, 1200).localCheckpoint(eager=True)
+    qs = _qset(union, [7, 311, 777, 1101]).localCheckpoint(eager=True)
+    truth = {
+        (r["query_vec_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(union, qs, k=5).collect()
+    }
+    # nprobe tracks K: the retrain re-sized K toward 4*sqrt(N), so a fixed
+    # tiny nprobe would shrink the probed fraction as the index grows —
+    # probe ~10% of the cells, the same fraction the pre-growth shape used
+    nprobe = max(4, meta["n_centroids"] // 10)
+    got = {
+        (r["query_vec_id"], r["vec_id"])
+        for r in search_ann_index(spark, d, qs, k=5, nprobe=nprobe).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.9

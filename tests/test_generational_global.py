@@ -248,6 +248,13 @@ def test_gen_stale_remerge_is_copy_forward(spark, tmp_path):
     g_idx, c2 = _two_gen_index(spark, tmp_path, "sr_idx", seeds=(93, 94))
     before = load_stats(g_idx)
     assert before["n_gens"] == 2
+    untouched_id = before["gen_ids"][1]
+    untouched_dir = os.path.join(g_idx, "global", f"gen={untouched_id}")
+    untouched_mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(untouched_dir, "*.parquet"))
+    }
+    assert untouched_mtimes
     # kill docs inside gen 0's range only
     kill = spark.range(0, 40).select(F.col("id").alias("doc_id"))
     compact_index(spark, g_idx, kill)
@@ -255,6 +262,11 @@ def test_gen_stale_remerge_is_copy_forward(spark, tmp_path):
     stale_old = before["gen_ids"][0]
     assert stale_old not in after["gen_ids"], "stale gen id reused in place"
     assert after["n_gens"] == 2
+    # gen-aware compaction (round-7 ask #4): ONLY the covering gen re-merges
+    # — the untouched gen keeps its id and its files are byte-untouched
+    assert untouched_id in after["gen_ids"]
+    for p, mt in untouched_mtimes.items():
+        assert os.path.getmtime(p) == mt, f"untouched gen re-merged: {p}"
     # superseded dir survives this build (previous stats referenced it) …
     assert os.path.isdir(os.path.join(g_idx, "global", f"gen={stale_old}"))
     # reader correctness on the compacted view vs a compacted merged twin

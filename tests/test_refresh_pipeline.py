@@ -670,3 +670,53 @@ def test_drain_multi_microbatch_window(spark, tmp_path):
     assert n_batches >= 2, n_batches
     ack_corpus_batch(spark, staging, b)
     assert drain_corpus_stream(spark, in_dir, staging, ckpt).count() == 0
+
+
+def test_refresh_rounds_maintains_ann_artifact(spark, tmp_path):
+    """Round-7 ask #6 wiring: refresh_rounds with ann_index_dir/ann_batches
+    builds the ANN artifact on round 0 and folds each later window in
+    O(window) (maintain_ann_index), recording the artifact state in the
+    per-round metrics — no O(corpus) ANN rebuild per window."""
+    from dense_retriever_spark.corpus import synth_corpus, synth_queries
+    from dense_retriever_spark.index.ann import search_ann_index
+    from dense_retriever_spark.pipeline import refresh_rounds
+
+    def vecs(lo, hi):
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                ids = pdf["id"].to_numpy(dtype=int)
+                out = np.empty((len(ids), 8), dtype=np.float32)
+                for j, i in enumerate(ids):
+                    r = np.random.RandomState(9000 + int(i))
+                    v = r.randn(8)
+                    out[j] = v / np.linalg.norm(v)
+                yield pd.DataFrame({"vec_id": ids, "embedding": list(out)})
+
+        return spark.range(lo, hi).mapInPandas(
+            gen, "vec_id long, embedding array<float>"
+        ).localCheckpoint(eager=True)
+
+    workdir = str(tmp_path / "annloop")
+    ann_dir = str(tmp_path / "annloop_ann")
+    queries = synth_queries(spark, 5).selectExpr(
+        "query_id as qid", "query as text"
+    )
+    qrels = queries.select("qid", (F.col("qid") * 3 % 80).alias("doc_id"))
+    rounds = refresh_rounds(
+        spark,
+        [synth_corpus(spark, 80, seed=21), synth_corpus(spark, 40, seed=22)],
+        queries, qrels, workdir, k=5, docs_per_shard=64,
+        ann_index_dir=ann_dir, ann_batches=[vecs(0, 80), vecs(80, 120)],
+    )
+    assert [r["ann"]["n_vectors"] for r in rounds] == [80, 120]
+    # a window-2 vector is immediately searchable in the artifact
+    probe = vecs(80, 120).filter(F.col("vec_id") == 100).selectExpr(
+        "vec_id as query_vec_id", "embedding as qvec"
+    )
+    hit = search_ann_index(
+        spark, ann_dir, probe, k=1, nprobe=4, exclude_self=False
+    ).collect()
+    assert [(r["vec_id"], r["rank"]) for r in hit] == [(100, 1)]
