@@ -325,6 +325,124 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# q56 — INCREMENTAL ANN maintenance under the hash gate (round 7): build the
+# persisted IVF artifact over a BASE subset of the embeddings (vec_id % 10
+# <> 3), fold the remaining ~10% in with refresh_ann_index — assignment to
+# the EXISTING base-trained centroids, cells appended, nothing rebuilt —
+# then search the refreshed artifact. The oracle runs the ONE-SHOT IVF
+# construction with centroids drawn from the base subset and assignment
+# over ALL vectors: hash-equality proves the O(window) incremental fold is
+# bit-identical to building over the union, cross-engine. This is the gate
+# row for the stream-refresh deployment's ANN window (pipeline.refresh_
+# rounds ann_index_dir / the refresh-ann CLI).
+# ---------------------------------------------------------------------------
+
+_Q56_MOD, _Q56_RES = 10, 3  # vec_id % 10 == 3 rows arrive as the window
+
+_Q56_IDX_CACHE: dict[str, str] = {}
+
+
+def _q56_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.contract import _read
+    from dense_retriever_spark.contract4 import _IVF_K
+    from dense_retriever_spark.index.ann import (
+        build_ann_index,
+        refresh_ann_index,
+    )
+
+    if sf_dir in _Q56_IDX_CACHE:
+        return _Q56_IDX_CACHE[sf_dir]
+    root = tempfile.mkdtemp(prefix="q56_ann_inc_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    idx = root + "/ann_index"
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % _Q56_MOD != _Q56_RES)
+    window = emb.filter(F.col("vec_id") % _Q56_MOD == _Q56_RES)
+    build_ann_index(base, idx, n_centroids=_IVF_K, quantizer="hash")
+    refresh_ann_index(spark, idx, window, assume_new_ids=True)
+    _Q56_IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q56_ann_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.contract import _read
+    from dense_retriever_spark.contract4 import _IVF_NPROBE, _SRP_K
+    from dense_retriever_spark.index.ann import search_ann_index
+
+    idx = _q56_index_dir(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_vec_id"), F.col("embedding").alias("qvec")
+    )
+    return search_ann_index(spark, idx, qv, k=_SRP_K, nprobe=_IVF_NPROBE)
+
+
+def _q56_sql() -> str:
+    from dense_retriever_spark.contract4 import (
+        _COS37,
+        _IVF_K,
+        _IVF_NPROBE,
+        _SRP_K,
+    )
+
+    return f"""
+WITH ch AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec,
+         CAST('0x' || substr(md5('777:' || vec_id::VARCHAR), 1, 15) AS BIGINT) AS h
+  FROM embeddings WHERE vec_id % {_Q56_MOD} <> {_Q56_RES}
+),
+cents AS (
+  SELECT centroid_id, cvec FROM ch ORDER BY h ASC, centroid_id ASC LIMIT {_IVF_K}
+),
+vass AS (
+  SELECT vec_id, evec, centroid_id FROM (
+    SELECT e.vec_id, e.embedding AS evec, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS37.format(a='e.embedding', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_vec_id, qvec, centroid_id FROM (
+    SELECT q.vec_id AS query_vec_id, q.embedding AS qvec, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_COS37.format(a='q.embedding', b='c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_vec_id, v.vec_id, p.qvec, v.evec
+  FROM qprobe p JOIN vass v USING (centroid_id)
+  WHERE p.query_vec_id <> v.vec_id
+),
+s AS (
+  SELECT query_vec_id, vec_id,
+         {_COS37.format(a='qvec', b='evec')} AS cosine
+  FROM cand
+),
+r AS (
+  SELECT query_vec_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_vec_id, vec_id, cosine, rank::INT AS rank FROM r WHERE rank <= {_SRP_K}
+"""
+
+
 QUERIES6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_distributed_search": q49_distributed_search,
     "q50_ann_index_search": q50_ann_index_search,
@@ -333,6 +451,7 @@ QUERIES6: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_asof_join": q53_asof_join,
     "q54_range_join": q54_range_join,
     "q55_ppm_decode_resize": q55_ppm_decode_resize,
+    "q56_ann_incremental_search": q56_ann_incremental_search,
 }
 
 
@@ -348,6 +467,7 @@ def _oracles6() -> dict[str, str]:
         "q53_asof_join": Q53_SQL,
         "q54_range_join": Q54_SQL,
         "q55_ppm_decode_resize": Q55_SQL,
+        "q56_ann_incremental_search": _q56_sql(),
     }
 
 
