@@ -26,9 +26,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dense_retriever_spark.contract4 import QUERIES4
     from dense_retriever_spark.contract5 import QUERIES5
     from dense_retriever_spark.contract6 import QUERIES6
+    from dense_retriever_spark.contract7 import QUERIES7
 
     return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5,
-            **QUERIES6}
+            **QUERIES6, **QUERIES7}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -38,6 +39,7 @@ def oracle_sql() -> dict[str, str]:
     from dense_retriever_spark.contract4 import ORACLES4
     from dense_retriever_spark.contract5 import ORACLES5
     from dense_retriever_spark.contract6 import ORACLES6
+    from dense_retriever_spark.contract7 import ORACLES7
 
     return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5,
-            **ORACLES6}
+            **ORACLES6, **ORACLES7}

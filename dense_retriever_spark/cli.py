@@ -230,6 +230,33 @@ def cmd_compact(args) -> None:
     print(json.dumps({"index": paths.root, "stats": load_stats(paths.root)}))
 
 
+def cmd_merge_indexes(args) -> None:
+    """Structurally merge independently built indexes (byte-level posting
+    rebase — the scale topology for 10^12 files is many parallel builds,
+    one per dataset/crawl, merged into a serving index)."""
+    spark = _spark(args)
+    from dense_retriever_spark.index.merge import merge_indexes
+    from dense_retriever_spark.index.search import load_stats
+
+    content_source = (
+        spark.read.parquet(args.content_source) if args.content_source else None
+    )
+    timings: dict = {}
+    paths = merge_indexes(
+        spark, args.src, args.out_dir,
+        content_source=content_source,
+        global_layout=args.global_layout,
+        build_tag=args.build_tag,
+        timings=timings,
+    )
+    print(json.dumps({
+        "index": paths.root,
+        "sources": args.src,
+        "timings": timings,
+        "stats": load_stats(paths.root),
+    }))
+
+
 def cmd_index_stats(args) -> None:
     """Read-only index inspection: stats.json, a manifest roll-up (shards by
     build tag, posting rows/bytes), and the maintenance-policy verdicts
@@ -525,6 +552,20 @@ def main(argv=None) -> None:
     ist.add_argument("--index-dir", required=True)
     ist.add_argument("--min-avg-shard-bytes", type=int, default=4 << 20)
     ist.set_defaults(fn=cmd_index_stats)
+
+    mi = sub.add_parser("merge-indexes")
+    mi.add_argument("--src", action="append", required=True,
+                    help="source index dir (repeat; order fixes doc-id "
+                         "rebasing: source i's ids shift past source i-1's "
+                         "shard range)")
+    mi.add_argument("--out-dir", required=True)
+    mi.add_argument("--content-source", default=None,
+                    help="parquet path of the immutable input table — "
+                         "required iff sources use metadata-only docs")
+    mi.add_argument("--global-layout", default=None,
+                    choices=["merged", "generational"])
+    mi.add_argument("--build-tag", default="merge")
+    mi.set_defaults(fn=cmd_merge_indexes)
 
     rs = sub.add_parser("reshard")
     rs.add_argument("--index-dir", required=True)

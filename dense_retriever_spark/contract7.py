@@ -1,0 +1,84 @@
+"""Driver-contract queries, wave 6 (round 7): cross-index merge under the
+hash gate.
+
+q57 splits the documents table at a shard-aligned boundary, builds TWO
+independent indexes (each with its own dense doc-id space starting at 0),
+structurally merges them with ``merge_indexes`` (byte-level posting rebase,
+no decode), and searches the merged index — which must hash-match the exact
+index-free BM25 oracle (Q01_SQL), the same oracle q38 (fresh single build)
+matches. Because the split boundary is a multiple of docs_per_shard, the
+merge's shard-aligned rebase reproduces the original table ids exactly, so
+one row proves: rebased postings decode to the right doc ids, block metadata
+shifts coherently, merged global stats equal a fresh build's, and the
+delegated resume path treats every carried shard as complete.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_Q57_IDX_CACHE: dict[str, str] = {}
+
+_Q57_DPS = 128
+
+
+def _q57_merged_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two half-corpus indexes merged into one (once per sf_dir per process;
+    atexit-reaped like the q38 fixture)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from dense_retriever_spark.contract4 import _docs_as_index_input
+    from dense_retriever_spark.index.build import build_index
+    from dense_retriever_spark.index.merge import merge_indexes
+
+    if sf_dir in _Q57_IDX_CACHE:
+        return _Q57_IDX_CACHE[sf_dir]
+    root = tempfile.mkdtemp(prefix="q57_merge_idx_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    docs = _docs_as_index_input(spark, sf_dir)
+    n = docs.count()
+    # shard-aligned split point: merged doc ids == table ids (see module doc)
+    cut = max(_Q57_DPS, (n // 2) // _Q57_DPS * _Q57_DPS)
+    a = docs.filter(F.col("doc_id") < cut)
+    b = docs.filter(F.col("doc_id") >= cut).withColumn(
+        "doc_id", F.col("doc_id") - F.lit(int(cut))
+    )
+    ia, ib, im = (f"{root}/{x}" for x in ("a", "b", "merged"))
+    build_index(a, ia, docs_per_shard=_Q57_DPS, term_buckets=2)
+    build_index(b, ib, docs_per_shard=_Q57_DPS, term_buckets=2)
+    merge_indexes(spark, [ia, ib], im, build_tag="q57_merge")
+    _Q57_IDX_CACHE[sf_dir] = im
+    return im
+
+
+def q57_merged_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract import BM25_QUERIES
+    from dense_retriever_spark.contract5 import _rounded_topk
+    from dense_retriever_spark.index.search import search
+
+    idx = _q57_merged_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    raw = search(spark, idx, queries, k=50, use_blockmax=True)
+    return _rounded_topk(raw)
+
+
+QUERIES7: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q57_merged_index_search": q57_merged_index_search,
+}
+
+
+def _oracles7() -> dict[str, str]:
+    from dense_retriever_spark.contract import Q01_SQL
+
+    return {
+        "q57_merged_index_search": Q01_SQL,
+    }
+
+
+ORACLES7: dict[str, str] = _oracles7()

@@ -179,7 +179,8 @@ class IndexPaths:
 
 MANIFEST_SCHEMA = (
     "term_lo string, term_hi string, row_count long, bytes long, "
-    "input_fingerprint string, status string, build_tag string, shard_id long"
+    "cf_sum long, input_fingerprint string, status string, "
+    "build_tag string, shard_id long"
 )
 
 

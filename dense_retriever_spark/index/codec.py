@@ -166,6 +166,34 @@ def merge_postings_fast(blobs: list[bytes], last_doc_ids: list[int]) -> bytes:
     return header + ids_all + tf_all + dl_all
 
 
+def rebase_postings(blob: bytes, offset: int) -> bytes:
+    """Shift every doc id in a posting blob by ``offset`` — in O(1) work.
+
+    The id stream is delta-encoded with the FIRST value absolute
+    (encode_postings: deltas[0] = doc_ids[0]), so a uniform shift touches
+    exactly one v-byte group: first_abs += offset; every subsequent delta is
+    unchanged. tf and dl streams are untouched. This is what makes
+    cross-index merges (index/merge.py) a byte-level copy instead of a
+    decode+re-encode of every posting — the same property
+    merge_postings_fast exploits for splice merges.
+    """
+    if offset == 0 or blob is None:
+        return blob
+    n, l1, l2, l3 = struct.unpack_from("<QQQQ", blob, 0)
+    if n == 0:
+        return blob
+    o = HEADER_BYTES
+    first_abs, consumed = _read_one_varbyte(blob, o)
+    if first_abs + offset < 0:
+        raise ValueError(
+            f"rebase would produce negative doc id: {first_abs} + {offset}"
+        )
+    new_first = varbyte_encode(np.array([first_abs + offset], dtype=np.uint64))
+    ids_b = new_first + blob[o + consumed : o + l1]
+    header = struct.pack("<QQQQ", n, len(ids_b), l2, l3)
+    return header + ids_b + blob[o + l1 :]
+
+
 def merge_postings(blobs: list[bytes]) -> bytes:
     """Order-preserving merge of sub-postings whose doc-id ranges are disjoint
     and given in ascending-range order (the salted two-phase build guarantees
