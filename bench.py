@@ -8,6 +8,11 @@ local[$SPARK_GRAFT_CPUS]:
   q_build_metaonly — the same build with a METADATA-ONLY docs table (content
                      joined from the immutable input at build time — the
                      100 TB storage knob, build_index(content_source=...))
+  q_index_build_positional — the same build with per-term position streams
+                     (phrase-capable index; measures the positional overhead)
+  q_merge_indexes  — structural cross-index merge (byte-level posting
+                     rebase + delegated phase B) of 2× the bench index
+  q_phrase_search  — 100 two-token phrases over the positional index
   q_search_indexed — 100-query top-10 via the block-max engine on that
                      index, COLD (term-df cache cleared), median of 3
   q_search_tombstoned — the same 100 queries with a ~14% kill-list applied
@@ -124,8 +129,56 @@ def main() -> None:
         n_corpus / timings["q_build_metaonly"], 1
     )
 
+    # positional (phrase-capable) build over the same corpus: measures the
+    # position-stream overhead vs q_index_build (same dps/buckets); the
+    # phrase metric below searches this index
+    idx_pos = os.path.dirname(idx_dir) + "/index_pos"
+    corpus_pos = assign_doc_ids_scalable(spark.read.parquet(stage_root + "/corpus"))
+    pos_phases: dict[str, float] = {}
+    timed("q_index_build_positional", lambda: build_index(
+        corpus_pos, idx_pos, docs_per_shard=dps, term_buckets=4,
+        positions=True, timings=pos_phases,
+    ))
+    extra["files_per_sec_positional"] = round(
+        n_corpus / timings["q_index_build_positional"], 1
+    )
+    extra["positional_phase_seconds"] = pos_phases
+
+    # cross-index merge (round 7): structurally merge two indexes — the
+    # 10^12-file build topology is parallel per-dataset builds + merge.
+    # Self-merge of the bench index doubles the doc space with zero extra
+    # setup; the rebase/fingerprint/phase-B work is identical to a real
+    # two-source merge. The headline comparison is merge_files_per_sec vs
+    # files_per_sec: merging must beat rebuilding by a wide margin.
+    from dense_retriever_spark.index.merge import merge_indexes
+
+    mrg_dir = os.path.dirname(idx_dir) + "/index_merged2x"
+    timed("q_merge_indexes", lambda: merge_indexes(
+        spark, [idx_dir, idx_dir], mrg_dir, build_tag="bench_merge",
+    ))
+    extra["merge_files_per_sec"] = round(
+        (2 * n_corpus) / timings["q_merge_indexes"], 1
+    )
+    shutil.rmtree(mrg_dir, ignore_errors=True)
+
     queries = synth_queries(spark, 100).cache()
     queries.count()
+
+    # phrase search: 100 two-token phrases over the positional index —
+    # position-stream decode + adjacency chain inside every term-matching
+    # shard (the phrase plane's full cost regardless of hit count)
+    from dense_retriever_spark.index.phrase import search_phrase
+
+    phrases = queries.selectExpr(
+        "query_id",
+        "array_join(slice(split(query, ' '), 1, 2), ' ') as query",
+    )
+    timed("q_phrase_search", lambda: search_phrase(
+        spark, idx_pos, phrases, k=10
+    ).count())
+    extra["phrase_p50_ms_per_query"] = round(
+        timings["q_phrase_search"] / 100 * 1000, 2
+    )
 
     def run_search():
         return search(spark, idx_dir, queries, k=10, use_blockmax=True).count()

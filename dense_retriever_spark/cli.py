@@ -62,10 +62,25 @@ def cmd_build_index(args) -> None:
         shard_batch=args.shard_batch,
         content_source=content_source,
         global_layout=args.global_layout,
+        positions=args.positions or None,
     )
     from dense_retriever_spark.index.search import load_stats
 
     print(json.dumps({"index": paths.root, "stats": load_stats(paths.root)}))
+
+
+def cmd_phrase_search(args) -> None:
+    spark = _spark(args)
+    from dense_retriever_spark.index.phrase import search_phrase
+    from dense_retriever_spark.sources.readers import read_queries_tsv
+
+    queries = read_queries_tsv(spark, args.queries).selectExpr(
+        "qid as query_id", "text as query"
+    )
+    res = search_phrase(spark, args.index_dir, queries, k=args.top_n)
+    res.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"results": args.out, "rows": n}))
 
 
 def cmd_search(args) -> None:
@@ -477,7 +492,17 @@ def main(argv=None) -> None:
                         "default inherits the existing index's layout")
     b.add_argument("--shard-batch", type=int, default=None)
     b.add_argument("--no-stage-content", action="store_true")
+    b.add_argument("--positions", action="store_true",
+                   help="phrase-capable index: store per-term position "
+                        "streams (read only by phrase-search)")
     b.set_defaults(fn=cmd_build_index)
+
+    ph = sub.add_parser("phrase-search")
+    ph.add_argument("--index-dir", required=True)
+    ph.add_argument("--queries", required=True, help="TSV qid\\tphrase")
+    ph.add_argument("--top-n", type=int, default=10)
+    ph.add_argument("--out", required=True)
+    ph.set_defaults(fn=cmd_phrase_search)
 
     s = sub.add_parser("search")
     s.add_argument("--index-dir", required=True)

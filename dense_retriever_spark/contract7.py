@@ -68,8 +68,103 @@ def q57_merged_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_topk(raw)
 
 
+# ---------------------------------------------------------------------------
+# q58 — PHRASE search over a positional index (index/phrase.py): the index
+# stores per-term position streams (build_index(positions=True)); a phrase
+# matches docs with the tokens at CONSECUTIVE positions, n_occ counting ALL
+# starts (overlapping included). The DuckDB oracle recomputes the same from
+# the raw text with 1-based list indexing over the tokenized array — one
+# hash-gated row proving position encoding, canonical token order, and the
+# adjacency chain all line up with a from-scratch definition.
+# ---------------------------------------------------------------------------
+
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (0, "table hash"),
+    (1, "slow hash batch"),
+    (2, "customer join"),
+    (3, "merge"),                      # single-term phrase: n_occ == tf
+    (4, "zzz never matches anything"),
+]
+
+_Q58_K = 10
+
+_Q58_IDX_CACHE: dict[str, str] = {}
+
+
+def _q58_positional_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from dense_retriever_spark.contract4 import _docs_as_index_input
+    from dense_retriever_spark.index.build import build_index
+
+    if sf_dir in _Q58_IDX_CACHE:
+        return _Q58_IDX_CACHE[sf_dir]
+    root = tempfile.mkdtemp(prefix="q58_pos_idx_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    idx = root + "/index"
+    build_index(
+        _docs_as_index_input(spark, sf_dir), idx,
+        docs_per_shard=128, term_buckets=2, positions=True,
+    )
+    _Q58_IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q58_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.index.phrase import search_phrase
+
+    idx = _q58_positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(
+        PHRASE_QUERIES, "query_id long, query string"
+    )
+    res = search_phrase(spark, idx, queries, k=_Q58_K)
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("n_occ").cast("long"),
+        F.col("rank").cast("int"),
+    )
+
+
+def _q58_sql() -> str:
+    from dense_retriever_spark.contract import _TOK_SQL
+
+    arms = []
+    for qid, phrase in PHRASE_QUERIES:
+        toks = [t for t in phrase.lower().split() if t]
+        L = len(toks)
+        cond = " AND ".join(
+            f"terms[i+{j}] = '{t}'" for j, t in enumerate(toks)
+        )
+        arms.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"len(list_filter(range(1, greatest(len(terms)-{L - 1}, 0)+1), "
+            f"i -> {cond}))::BIGINT AS n_occ FROM tok"
+        )
+    body = " UNION ALL ".join(arms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOK_SQL.format(c='text')} AS terms FROM documents
+),
+m AS ({body}),
+f AS (SELECT * FROM m WHERE n_occ > 0),
+r AS (
+  SELECT query_id, doc_id, n_occ,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_occ DESC, doc_id) AS rank
+  FROM f
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       n_occ::BIGINT AS n_occ, rank::INT AS rank
+FROM r WHERE rank <= {_Q58_K}
+"""
+
+
 QUERIES7: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_merged_index_search": q57_merged_index_search,
+    "q58_phrase_search": q58_phrase_search,
 }
 
 
@@ -78,6 +173,7 @@ def _oracles7() -> dict[str, str]:
 
     return {
         "q57_merged_index_search": Q01_SQL,
+        "q58_phrase_search": _q58_sql(),
     }
 
 

@@ -109,12 +109,34 @@ def tokenize_code_pandas(content: pd.Series) -> pd.Series:
     return tokenize_code_series(content)
 
 
-def tokenize_code_flat(content: pd.Series):
+def _pos_within_runs(parent):
+    """Position of each element within its run of equal ``parent`` values
+    (parent must be sorted ascending — list_parent_indices order)."""
+    import numpy as np
+
+    n = parent.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    new_run = np.r_[True, parent[1:] != parent[:-1]]
+    starts = np.flatnonzero(new_run)
+    run_ids = np.cumsum(new_run) - 1
+    return np.arange(n, dtype=np.int64) - starts[run_ids]
+
+
+def tokenize_code_flat(content: pd.Series, with_positions: bool = False):
     """Flat tokenization on pure Arrow compute kernels (RE2, C++; measured
     ~3.4x tokenize_code_series and far less allocator/memory-bus traffic —
     no per-token Python strings exist at any point).
 
-    Returns ``(doc_idx, codes, uniques, dl)``:
+    ``with_positions=True`` additionally returns ``pos`` — each token's
+    index in the doc's CANONICAL token order (the tokenize_code_series
+    order: every segment in text order, then every compound identifier in
+    text order), aligned with ``doc_idx``/``codes``. This is the order
+    positional postings store for phrase search (index/phrase.py); on text
+    with no compound identifiers it reduces to plain textual token order,
+    which is what the DuckDB oracle reproduces.
+
+    Returns ``(doc_idx, codes, uniques, dl)`` (+ ``pos`` when requested):
       doc_idx — int64 position of each token's document within ``content``
       codes   — int32 dictionary code per token
       uniques — np.ndarray of the dictionary strings (code -> term)
@@ -160,4 +182,15 @@ def tokenize_code_flat(content: pd.Series):
     codes = np.asarray(de.indices, dtype=np.int32)
     uniques = np.asarray(de.dictionary)
     dl = np.bincount(doc_idx, minlength=len(content)).astype(np.int64)
-    return doc_idx, codes, uniques, dl
+    if not with_positions:
+        return doc_idx, codes, uniques, dl
+    segp = np.asarray(seg_parent, dtype=np.int64)
+    compp = np.asarray(comp_parent, dtype=np.int64)
+    n_seg_per_doc = np.bincount(segp, minlength=len(content)).astype(np.int64)
+    pos = np.concatenate(
+        [
+            _pos_within_runs(segp),
+            n_seg_per_doc[compp] + _pos_within_runs(compp),
+        ]
+    )
+    return doc_idx, codes, uniques, dl, pos

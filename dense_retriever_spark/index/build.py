@@ -61,6 +61,7 @@ from dense_retriever_spark import BM25_B, BM25_K1
 from dense_retriever_spark.index import fs
 from dense_retriever_spark.index.codec import (
     block_meta,
+    encode_position_stream,
     encode_postings,
     merge_postings_fast,
 )
@@ -230,6 +231,16 @@ def _fingerprint_df(staged: DataFrame) -> DataFrame:
 # --- phase A: per-shard postings (tokenize inside the group) ------------------
 
 def _build_shard_from_content(pdf: pd.DataFrame):
+    """Single-arg applyInPandas wrapper (two params would make Spark treat
+    the function as the (key, pdf) grouped-map form)."""
+    return _build_shard_rows(pdf, False)
+
+
+def _build_shard_from_content_positional(pdf: pd.DataFrame):
+    return _build_shard_rows(pdf, True)
+
+
+def _build_shard_rows(pdf: pd.DataFrame, positions: bool):
     """applyInPandas body for ONE doc-range shard, fed RAW TEXT.
 
     Tokenization happens here (vectorized pandas tokenizer), so the build's
@@ -237,21 +248,35 @@ def _build_shard_from_content(pdf: pd.DataFrame):
     Arrow-transferred values than exploding tokens JVM-side. tf counting is a
     vectorized run-length encode over (term_code, doc_id). The doc-range shard
     IS the hot-term salt: a term's group-local df is bounded by docs_per_shard
-    regardless of global frequency (SURVEY.md §7.4)."""
+    regardless of global frequency (SURVEY.md §7.4).
+
+    ``positions=True`` (phrase-capable indexes) adds a ``positions`` column:
+    per-term position stream in canonical token order (codec.
+    encode_position_stream), split at query time by the posting blob's own
+    tf stream. Costs one extra v-byte stream per posting — the scoring path
+    never reads it (column pruning keeps it out of every non-phrase scan)."""
     from dense_retriever_spark.functions.tokenizer import tokenize_code_flat
 
-    empty = pd.DataFrame(
-        columns=[
-            "shard", "term", "df", "cf", "n_blocks", "postings",
-            "block_last_doc_id", "block_max_tf", "block_min_dl",
-        ]
-    )
+    cols = [
+        "shard", "term", "df", "cf", "n_blocks", "postings",
+        "block_last_doc_id", "block_max_tf", "block_min_dl",
+    ]
+    if positions:
+        cols = cols + ["positions"]
+    empty = pd.DataFrame(columns=cols)
     if len(pdf) == 0:
         return empty
     # Arrow-kernel tokenization: flat (doc_idx, term_code) streams, no
     # per-token Python strings — the token multiset matches
-    # tokenize_code_series exactly (order differs; irrelevant for tf/dl)
-    doc_idx, codes, uniques, dl = tokenize_code_flat(pdf["content"])
+    # tokenize_code_series exactly (order differs; irrelevant for tf/dl).
+    # With positions, each token also carries its canonical in-doc index.
+    if positions:
+        doc_idx, codes, uniques, dl, tok_pos = tokenize_code_flat(
+            pdf["content"], with_positions=True
+        )
+    else:
+        doc_idx, codes, uniques, dl = tokenize_code_flat(pdf["content"])
+        tok_pos = None
     if codes.size == 0:
         return empty
     doc_ids_in = pdf["doc_id"].to_numpy(np.int64)
@@ -259,10 +284,14 @@ def _build_shard_from_content(pdf: pd.DataFrame):
     out = []
     doc_ids_r = doc_ids_in[doc_idx]
     dls_r = dl[doc_idx]
+    # lexsort is STABLE: within a (term, doc) run the original stream order
+    # survives, and the canonical order is ascending-position per doc — so
+    # tok_pos[order] is already the per-doc ascending position stream.
     order = np.lexsort((doc_ids_r, codes))
     codes = codes[order]
     doc_ids = doc_ids_r[order]
     dls_raw = dls_r[order]
+    pos_sorted = tok_pos[order] if positions else None
     # collapse runs of identical (term, doc_id) -> tf
     new_term = np.r_[True, codes[1:] != codes[:-1]]
     new_pair = new_term | np.r_[True, doc_ids[1:] != doc_ids[:-1]]
@@ -279,26 +308,25 @@ def _build_shard_from_content(pdf: pd.DataFrame):
         lo, hi = bounds[i], bounds[i + 1]
         ids, tf, dl = p_docs[lo:hi], tfs[lo:hi], p_dls[lo:hi]
         blast, bmax_tf, bmin_dl = block_meta(ids, tf, dl)
-        out.append(
-            (
-                shard,
-                p_terms[lo],
-                int(hi - lo),
-                int(tf.sum()),
-                int(blast.size),
-                encode_postings(ids, tf, dl),
-                blast.tolist(),
-                bmax_tf.tolist(),
-                bmin_dl.tolist(),
-            )
+        row = (
+            shard,
+            p_terms[lo],
+            int(hi - lo),
+            int(tf.sum()),
+            int(blast.size),
+            encode_postings(ids, tf, dl),
+            blast.tolist(),
+            bmax_tf.tolist(),
+            bmin_dl.tolist(),
         )
-    return pd.DataFrame(
-        out,
-        columns=[
-            "shard", "term", "df", "cf", "n_blocks", "postings",
-            "block_last_doc_id", "block_max_tf", "block_min_dl",
-        ],
-    )
+        if positions:
+            tok_lo = starts[lo]
+            tok_hi = starts[hi] if hi < starts.size else codes.size
+            row = row + (
+                encode_position_stream(pos_sorted[tok_lo:tok_hi], tf),
+            )
+        out.append(row)
+    return pd.DataFrame(out, columns=cols)
 
 
 def _merge_term_groups(pdf: pd.DataFrame):
@@ -598,8 +626,16 @@ def build_index(
     content_source: DataFrame | None = None,
     global_layout: str | None = None,
     max_gens: int = 32,
+    positions: bool | None = None,
 ) -> IndexPaths:
     """Build the full index from an ingested corpus (doc_id + content_sha).
+
+    ``positions``: ``True`` makes the index phrase-capable — every shard
+    posting row carries a per-term position stream (see
+    _build_shard_from_content), consumed only by index/phrase.py. ``None``
+    inherits the existing index's setting (like ``global_layout``); the flag
+    cannot change across incremental builds of one index (shards would mix
+    layouts) — resharding to a fresh directory is the migration path.
 
     ``shard_batch``: how many doc-range shards to build per driver round
     (None = all in one Spark job). Smaller batches = finer-grained
@@ -651,6 +687,7 @@ def build_index(
     from dense_retriever_spark.index.codec import FORMAT_VERSION
 
     prev_layout = None
+    prev_positions = None
     prev_gen_ids: list[int] = []
     if fs.exists(paths.stats, spark):
         prev = json.loads(fs.read_text(paths.stats, spark))
@@ -670,6 +707,19 @@ def build_index(
                 "pass the original value or use a fresh index directory"
             )
         prev_layout = prev.get("global_layout", "merged")
+        prev_positions = bool(prev.get("positions", False))
+        if (
+            positions is not None
+            and bool(positions) != prev_positions
+            and fs.is_dir(paths.manifest, spark)
+        ):
+            raise ValueError(
+                f"index at {index_dir} was built with "
+                f"positions={prev_positions}; an incremental build cannot "
+                f"switch to positions={bool(positions)} — resumed shards "
+                "would mix positional and non-positional rows. Rebuild into "
+                "a fresh directory (or reshard) to change it"
+            )
         # the copy-forward sweep must keep every gen dir the CURRENTLY
         # committed stats.json references (a serving reader's view)
         prev_gen_ids = [int(i) for i in (prev.get("gen_ids") or [])]
@@ -678,6 +728,7 @@ def build_index(
     ):
         raise ValueError(f"unknown global_layout {global_layout!r}")
     layout = global_layout or prev_layout or "merged"
+    pos_flag = bool(positions) if positions is not None else bool(prev_positions)
     if prev_layout is not None and layout != prev_layout:
         # layout switch: global/ is derived data — rebuild it from shards in
         # the requested layout (gens metadata lives inside global/, so the
@@ -804,9 +855,15 @@ def build_index(
                 content_source.select("repo", "path", "commit", "content"),
                 ["repo", "path", "commit"],
             ).select("shard", "doc_id", "content")
-        rows = part.groupBy("shard").applyInPandas(
-            _build_shard_from_content, schema=POSTING_ROW_SCHEMA,
-        )
+        if pos_flag:
+            rows = part.groupBy("shard").applyInPandas(
+                _build_shard_from_content_positional,
+                schema=POSTING_ROW_SCHEMA + ", positions binary",
+            )
+        else:
+            rows = part.groupBy("shard").applyInPandas(
+                _build_shard_from_content, schema=POSTING_ROW_SCHEMA,
+            )
         (
             rows.sortWithinPartitions("shard", "term")
             .write.mode("overwrite")
@@ -952,6 +1009,7 @@ def build_index(
                 "term_buckets": term_buckets,
                 "build_tag": build_tag,
                 "global_layout": layout,
+                "positions": pos_flag,
                 # gens are stats-only (term, df, cf) as of round 7; readers
                 # never needed more, so the marker is documentation, not a
                 # compat gate — old postings-bearing gen dirs still read
@@ -1065,6 +1123,7 @@ def reshard_index(
         b=float(stats["b"]),
         build_tag=build_tag,
         content_source=content_source,
+        positions=bool(stats.get("positions", False)),
     )
     # success: the rebuilt docs table exists — drop the staged original
     fs.delete(staging, spark)
@@ -1124,6 +1183,7 @@ def compact_index(
             b=float(stats["b"]),
             build_tag=build_tag,
             content_source=content_source,
+            positions=bool(stats.get("positions", False)),
         )
     finally:
         fs.delete(staging, spark)

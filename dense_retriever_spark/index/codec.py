@@ -213,6 +213,43 @@ def merge_postings(blobs: list[bytes]) -> bytes:
     return encode_postings(ids, tfs, dls)
 
 
+def encode_position_stream(flat_positions: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Encode one term's token positions for positional (phrase) indexes.
+
+    ``flat_positions``: per-doc ascending token positions, docs concatenated
+    in posting (doc-id) order; ``tfs``: per-doc position counts — exactly the
+    tf stream of the same term's posting blob, so the positions blob needs NO
+    header of its own: decode splits on the tfs the caller already has.
+    Delta-encoded within each doc (first position absolute per doc), v-byte
+    packed — the standard positional-postings layout.
+    """
+    p = np.ascontiguousarray(flat_positions, dtype=np.int64)
+    if p.size == 0:
+        return b""
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    starts = np.r_[0, np.cumsum(t)[:-1]]
+    deltas = np.empty_like(p)
+    deltas[1:] = p[1:] - p[:-1]
+    deltas[starts] = p[starts]
+    return varbyte_encode(deltas.astype(np.uint64))
+
+
+def decode_position_stream(blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of encode_position_stream → flat int64 positions (per-doc
+    ascending, docs in posting order; split with ``np.cumsum(tfs)``)."""
+    deltas = varbyte_decode(blob).astype(np.int64)
+    if deltas.size == 0:
+        return deltas
+    t = np.ascontiguousarray(tfs, dtype=np.int64)
+    c = np.cumsum(deltas)
+    starts = np.r_[0, np.cumsum(t)[:-1]]
+    # segmented cumsum: subtract, from every element, the running total
+    # accumulated BEFORE its doc's first element
+    base = np.zeros(t.size, dtype=np.int64)
+    base[1:] = c[starts[1:] - 1]
+    return c - np.repeat(base, t)
+
+
 # --- block-max metadata -------------------------------------------------------
 
 BLOCK_SIZE = 128

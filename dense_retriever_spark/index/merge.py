@@ -99,6 +99,14 @@ def _validate_sources(spark: SparkSession, src_dirs: list[str]) -> list[dict]:
                     f"{first.get(f_)!r} (from {src_dirs[0]}) — merged shards "
                     "must share one doc-range granularity and BM25 parameters"
                 )
+        if bool(st.get("positions", False)) != bool(
+            first.get("positions", False)
+        ):
+            raise ValueError(
+                f"index at {d} has positions={bool(st.get('positions', False))}, "
+                f"expected {bool(first.get('positions', False))} — merged "
+                "shards cannot mix positional and non-positional rows"
+            )
     return stats
 
 
@@ -239,4 +247,5 @@ def merge_indexes(
         build_tag=build_tag,
         content_source=content_source,
         global_layout=layout,
+        positions=bool(stats[0].get("positions", False)),
     )
