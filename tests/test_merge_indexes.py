@@ -135,6 +135,33 @@ def test_merge_validation_errors(spark, tmp_path):
         merge_indexes(spark, [ia, ib], im + "x")
 
 
+def test_merge_positional_preserves_phrase_search(spark, tmp_path):
+    """Merging positional indexes keeps phrase results identical to a fresh
+    positional build — position streams are doc-id-independent (per-doc
+    deltas), so the rebase must not touch them."""
+    from dense_retriever_spark.index.phrase import search_phrase
+
+    full, a, b = _corpus_halves(spark, n=190, seed=53)
+    ia, ib, ifull, im = (str(tmp_path / x) for x in ("a", "b", "full", "m"))
+    for src, dst in ((a, ia), (b, ib), (full, ifull)):
+        build_index(src, dst, docs_per_shard=DPS, term_buckets=2,
+                    positions=True)
+    merge_indexes(spark, [ia, ib], im)
+    assert load_stats(im)["positions"] is True
+    qs = spark.createDataFrame(
+        [(0, "table hash"), (1, "merge"), (2, "slow key")],
+        "query_id long, query string",
+    )
+    got_m = sorted(map(tuple, search_phrase(spark, im, qs, k=50).collect()))
+    got_f = sorted(map(tuple, search_phrase(spark, ifull, qs, k=50).collect()))
+    assert got_m == got_f
+    # mixing positional and plain sources is rejected
+    plain = str(tmp_path / "plain")
+    build_index(a, plain, docs_per_shard=DPS, term_buckets=2)
+    with pytest.raises(ValueError, match="positions"):
+        merge_indexes(spark, [plain, ib], str(tmp_path / "mx"))
+
+
 def test_merged_index_is_incrementally_buildable(spark, tmp_path):
     """A merged index is a standard index: appending a new batch to the
     merged docs and re-running build_index rebuilds ONLY the new shards

@@ -395,3 +395,44 @@ def test_cli_index_stats(spark, tmp_path, capsys):
     assert out["manifest_by_tag"][0]["build_tag"] == "r0"
     assert out["manifest_by_tag"][0]["shards"] == 4
     assert isinstance(out["should_reshard"], bool)
+
+
+def test_cli_merge_indexes_and_phrase_search(spark, tmp_path, capsys):
+    """merge-indexes + phrase-search verbs end-to-end: two positional
+    half-corpus indexes merged via the CLI, then phrase-searched via the
+    CLI against the merged artifact."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark import cli
+    from dense_retriever_spark.corpus import ingest, synth_corpus
+    from dense_retriever_spark.index.build import build_index
+
+    full = ingest(synth_corpus(spark, 128, seed=21)).localCheckpoint(
+        eager=True
+    )
+    a = full.filter(F.col("doc_id") < 64)
+    b = full.filter(F.col("doc_id") >= 64).withColumn(
+        "doc_id", F.col("doc_id") - 64
+    )
+    ia, ib, im = (str(tmp_path / x) for x in ("a", "b", "m"))
+    build_index(a, ia, docs_per_shard=32, term_buckets=2, positions=True)
+    build_index(b, ib, docs_per_shard=32, term_buckets=2, positions=True)
+    cli.main(["merge-indexes", "--src", ia, "--src", ib, "--out-dir", im,
+              "--build-tag", "cli_merge"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["stats"]["n_docs"] == 128
+    assert out["stats"]["positions"] is True
+    assert out["sources"] == [ia, ib]
+
+    qpath = str(tmp_path / "phrases.tsv")
+    with open(qpath, "w") as f:
+        f.write("0\ttable\n1\tzzznotaterm never\n")
+    rpath = str(tmp_path / "phrase_res")
+    cli.main(["phrase-search", "--index-dir", im, "--queries", qpath,
+              "--top-n", "5", "--out", rpath])
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    res = spark.read.parquet(rpath)
+    assert out2["rows"] == res.count()
+    assert res.filter(F.col("query_id") == 1).count() == 0
