@@ -118,6 +118,70 @@ def test_merge_generational_layout(spark, tmp_path):
     assert merged.root == im
 
 
+def test_merge_generational_carries_gens_over(spark, tmp_path):
+    """Generational merge is O(metadata): every committed source gen carries
+    over as a copied stats table with a shifted range — no re-aggregation —
+    and the merged index's gens tile all non-last-source shards."""
+    import json as _json
+
+    from dense_retriever_spark.index import fs as idx_fs
+    from dense_retriever_spark.index.build import _read_gens
+
+    full, a, b = _corpus_halves(spark, n=220, seed=61)
+    ia, ib, im = (str(tmp_path / x) for x in ("a", "b", "m"))
+    # two incremental windows per source → each source has committed gens
+    for src, dst, n1 in ((a, ia, 64), (b, ib, 64)):
+        w1 = src.filter(F.col("doc_id") < n1).localCheckpoint(eager=True)
+        build_index(w1, dst, docs_per_shard=DPS, term_buckets=2,
+                    global_layout="generational")
+        build_index(src.localCheckpoint(eager=True), dst,
+                    docs_per_shard=DPS, term_buckets=2)
+    ga = [g for g in _read_gens(spark, IndexPaths(ia))]
+    gb = [g for g in _read_gens(spark, IndexPaths(ib))]
+    assert ga and gb
+    merge_indexes(spark, [ia, ib], im, global_layout="generational")
+
+    st = load_stats(im)
+    gm = sorted(_read_gens(spark, IndexPaths(im)), key=lambda g: g["lo"])
+    committed = {int(x) for x in st["gen_ids"]}
+    gm = [g for g in gm if int(g["id"]) in committed]
+    n_shards_a = _json.loads(
+        idx_fs.read_text(IndexPaths(ia).stats, spark)
+    )["n_shards"]
+    # source a's ranges appear shifted by 0, source b's by n_shards_a; the
+    # whole of source a (incl. its tail shard) is genned in the merge
+    ranges = [(g["lo"], g["hi"]) for g in gm]
+    for g in ga:
+        assert any(lo == g["lo"] and hi >= g["hi"] for lo, hi in ranges)
+    for g in gb:
+        assert any(
+            lo == g["lo"] + n_shards_a and hi >= g["hi"] + n_shards_a
+            for lo, hi in ranges
+        )
+    covered_until = max(hi for _, hi in ranges)
+    assert covered_until >= n_shards_a  # a's loose tail genned too
+    # carried stats equal the source's gen stats (copy, not re-aggregate)
+    src_gen0 = spark.read.parquet(
+        f"{ia}/global/gen={int(ga[0]['id'])}"
+    ).select("term", "df", "cf")
+    dst_match = [g for g in gm if g["lo"] == ga[0]["lo"]
+                 and g["hi"] == ga[0]["hi"]]
+    if dst_match:  # untouched by folds: contents must be identical
+        dst_gen = spark.read.parquet(
+            f"{im}/global/gen={int(dst_match[0]['id'])}"
+        ).select("term", "df", "cf")
+        assert sorted(map(tuple, src_gen0.collect())) == sorted(
+            map(tuple, dst_gen.collect())
+        )
+    # and the merged index still answers like a fresh full build
+    ifull = str(tmp_path / "full")
+    build_index(full, ifull, docs_per_shard=DPS, term_buckets=2)
+    qs = synth_queries(spark, 6)
+    assert _res(spark, im, qs, use_blockmax=True) == _res(
+        spark, ifull, qs, use_blockmax=True
+    )
+
+
 def test_merge_validation_errors(spark, tmp_path):
     full, a, b = _corpus_halves(spark, n=140, seed=31)
     ia, ib, im = (str(tmp_path / x) for x in ("a", "b", "m"))
