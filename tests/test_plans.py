@@ -106,3 +106,29 @@ def test_broadcast_plane_term_semijoin_above_limit(spark, tmp_path,
     monkeypatch.setattr(search_mod, "TERM_ISIN_LIMIT", 4_096)
     lit = sorted(map(tuple, search(spark, d, qs, k=5).collect()))
     assert semi == lit and len(semi) > 0
+
+
+def test_phrase_scan_pushdown_and_pruning(spark, tmp_path):
+    """The phrase plane's shard scan must push the phrase-term IN filter to
+    parquet and read ONLY (shard, term, postings, positions) — never the
+    block-max arrays or df/cf the scoring plane uses."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dense_retriever_spark.corpus import ingest, synth_corpus
+    from dense_retriever_spark.index.build import build_index
+    from dense_retriever_spark.index.phrase import search_phrase
+    from dense_retriever_spark.plans import scan_pushdown_info
+
+    d = str(tmp_path / "phidx")
+    build_index(ingest(synth_corpus(spark, 100)), d, docs_per_shard=64,
+                term_buckets=2, positions=True)
+    qs = spark.createDataFrame(
+        [(0, "table hash")], "query_id long, query string"
+    )
+    res = search_phrase(spark, d, qs, k=5)
+    info = scan_pushdown_info(res)
+    assert info["pushed_filters"] and "In(term" in info["pushed_filters"], info
+    rs = info["read_schema"] or ""
+    assert "positions" in rs and "postings" in rs, rs
+    for col in ("block_max_tf", "block_min_dl", "df", "cf", "content"):
+        assert col not in rs, (col, rs)
