@@ -121,6 +121,33 @@ def test_phrase_search_matches_bruteforce(spark, phrase_idx):
         assert sum(1 for (q, _d) in got_map if q == qid) == len(expect)
 
 
+def test_phrase_planes_bit_identical(spark, phrase_idx):
+    """broadcast and distributed phrase planes must return identical rows
+    (the q38/q49 interchangeability guarantee, phrase edition) — including
+    multi-shard matches, repeated-term phrases, and no-match phrases."""
+    idx, corpus_rows = phrase_idx
+    toks0 = corpus_rows[0][1]
+    qdf = spark.createDataFrame(
+        [
+            (0, " ".join(toks0[0:2])),
+            (1, toks0[2]),
+            (2, " ".join([toks0[1], toks0[1]])),  # repeated term
+            (3, "zzznotaterm never"),
+        ],
+        "query_id long, query string",
+    )
+    b = sorted(map(tuple, search_phrase(
+        spark, idx, qdf, k=100, query_mode="broadcast").collect()))
+    d = sorted(map(tuple, search_phrase(
+        spark, idx, qdf, k=100, query_mode="distributed").collect()))
+    assert b == d and len(b) > 0
+    a = sorted(map(tuple, search_phrase(
+        spark, idx, qdf, k=100, query_mode="auto").collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="query_mode"):
+        search_phrase(spark, idx, qdf, query_mode="nope")
+
+
 def test_phrase_rank_and_k(spark, phrase_idx):
     idx, corpus_rows = phrase_idx
     toks0 = corpus_rows[0][1]
