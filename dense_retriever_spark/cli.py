@@ -71,13 +71,25 @@ def cmd_build_index(args) -> None:
 
 def cmd_phrase_search(args) -> None:
     spark = _spark(args)
+    from pyspark.sql import functions as F
+
     from dense_retriever_spark.index.phrase import search_phrase
     from dense_retriever_spark.sources.readers import read_queries_tsv
 
     queries = read_queries_tsv(spark, args.queries).selectExpr(
         "qid as query_id", "text as query"
     )
-    res = search_phrase(spark, args.index_dir, queries, k=args.top_n)
+    excl = (
+        spark.read.parquet(args.exclude_ids).select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+        if args.exclude_ids
+        else None
+    )
+    res = search_phrase(
+        spark, args.index_dir, queries, k=args.top_n,
+        query_mode=args.query_mode, exclude_doc_ids=excl,
+    )
     res.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"results": args.out, "rows": n}))
@@ -502,6 +514,10 @@ def main(argv=None) -> None:
     ph.add_argument("--queries", required=True, help="TSV qid\\tphrase")
     ph.add_argument("--top-n", type=int, default=10)
     ph.add_argument("--out", required=True)
+    ph.add_argument("--exclude-ids", default=None,
+                    help="parquet (doc_id): tombstone kill-list")
+    ph.add_argument("--query-mode", default="auto",
+                    choices=["auto", "broadcast", "distributed"])
     ph.set_defaults(fn=cmd_phrase_search)
 
     s = sub.add_parser("search")

@@ -162,6 +162,32 @@ def test_phrase_rank_and_k(spark, phrase_idx):
     assert [int(r["rank"]) for r in ordered] == list(range(1, len(res) + 1))
 
 
+def test_phrase_tombstones(spark, phrase_idx):
+    """exclude_doc_ids masks phrase matches exactly at query time on both
+    planes — same contract as search()'s kill-list."""
+    idx, corpus_rows = phrase_idx
+    toks0 = corpus_rows[0][1]
+    qdf = spark.createDataFrame(
+        [(0, toks0[1])], "query_id long, query string"
+    )
+    full = search_phrase(spark, idx, qdf, k=1000).collect()
+    assert full
+    killed_ids = sorted({int(r["doc_id"]) for r in full})[::2]
+    kill = spark.createDataFrame(
+        [(i,) for i in killed_ids], "doc_id long"
+    )
+    for mode in ("broadcast", "distributed"):
+        masked = search_phrase(
+            spark, idx, qdf, k=1000, query_mode=mode, exclude_doc_ids=kill
+        ).collect()
+        got = {int(r["doc_id"]) for r in masked}
+        assert got == {int(r["doc_id"]) for r in full} - set(killed_ids)
+        # surviving n_occ values unchanged
+        full_map = {int(r["doc_id"]): int(r["n_occ"]) for r in full}
+        for r in masked:
+            assert int(r["n_occ"]) == full_map[int(r["doc_id"])]
+
+
 def test_positions_flag_guards(spark, tmp_path):
     corpus = ingest(synth_corpus(spark, 64, seed=11)).localCheckpoint(
         eager=True
