@@ -158,14 +158,15 @@ def search_phrase(
     k: int = 10,
     query_mode: str = "broadcast",
     exclude_doc_ids: DataFrame | None = None,
+    include_doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k phrase search. Output: (query_id, doc_id, n_occ, rank).
 
-    ``exclude_doc_ids``: optional (doc_id) tombstone relation — same
-    contract as ``search``: masked exactly at query time, never collected
-    (a distributed anti-join on the pre-rank matches; match cardinality is
-    bounded by |matching docs| × |queries|, far below the posting scan the
-    join follows)."""
+    ``exclude_doc_ids`` / ``include_doc_ids``: optional (doc_id) tombstone /
+    allowed-set relations — same contract as ``search``: masked exactly at
+    query time, never collected (a distributed anti/semi join on the
+    pre-rank matches; match cardinality is bounded by |matching docs| ×
+    |queries|, far below the posting scan the join follows)."""
     stats = load_stats(index_dir)
     if not stats.get("positions", False):
         raise ValueError(
@@ -179,25 +180,39 @@ def search_phrase(
         )
     if query_mode == "broadcast":
         return _phrase_broadcast(
-            spark, index_dir, stats, queries_df, k, exclude_doc_ids
+            spark, index_dir, stats, queries_df, k, exclude_doc_ids,
+            include_doc_ids,
         )
     if query_mode != "distributed":
         raise ValueError(f"unknown query_mode {query_mode!r}")
     return _phrase_distributed(
-        spark, index_dir, stats, queries_df, k, exclude_doc_ids
+        spark, index_dir, stats, queries_df, k, exclude_doc_ids,
+        include_doc_ids,
     )
 
 
-def _mask_tombstones(
-    matches: DataFrame, exclude_doc_ids: DataFrame | None
+def _mask_matches(
+    matches: DataFrame,
+    exclude_doc_ids: DataFrame | None,
+    include_doc_ids: DataFrame | None,
 ) -> DataFrame:
-    if exclude_doc_ids is None:
-        return matches
-    return matches.join(
-        exclude_doc_ids.select(F.col("doc_id").cast("long").alias("doc_id")),
-        "doc_id",
-        "left_anti",
-    )
+    if exclude_doc_ids is not None:
+        matches = matches.join(
+            exclude_doc_ids.select(
+                F.col("doc_id").cast("long").alias("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
+    if include_doc_ids is not None:
+        matches = matches.join(
+            include_doc_ids.select(
+                F.col("doc_id").cast("long").alias("doc_id")
+            ),
+            "doc_id",
+            "left_semi",
+        )
+    return matches
 
 
 def _phrase_broadcast(
@@ -207,6 +222,7 @@ def _phrase_broadcast(
     queries_df: DataFrame,
     k: int,
     exclude_doc_ids: DataFrame | None = None,
+    include_doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     paths = IndexPaths(index_dir)
     dps = int(stats["docs_per_shard"])
@@ -226,7 +242,9 @@ def _phrase_broadcast(
     matches = shard_rows.groupBy("shard").applyInPandas(
         _match, schema=_MATCH_SCHEMA
     )
-    return _rank(_mask_tombstones(matches, exclude_doc_ids), k)
+    return _rank(
+        _mask_matches(matches, exclude_doc_ids, include_doc_ids), k
+    )
 
 
 def _phrase_distributed(
@@ -236,6 +254,7 @@ def _phrase_distributed(
     queries_df: DataFrame,
     k: int,
     exclude_doc_ids: DataFrame | None = None,
+    include_doc_ids: DataFrame | None = None,
 ) -> DataFrame:
     """O(1)-driver-state phrase plane: the ordered (query_id, pos, term)
     relation is produced executor-side (posexplode over the Arrow
@@ -292,7 +311,9 @@ def _phrase_distributed(
         .cogroup(q_shard.groupby("shard"))
         .applyInPandas(_match_dist, schema=_MATCH_SCHEMA)
     )
-    out = _rank(_mask_tombstones(matches, exclude_doc_ids), k)
+    out = _rank(
+        _mask_matches(matches, exclude_doc_ids, include_doc_ids), k
+    )
     # bounded (≤ k × |Q|) executor-side materialization so qt's persist can
     # be released now instead of leaking until GC (search._finish pattern)
     out = out.localCheckpoint(eager=True)

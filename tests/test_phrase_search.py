@@ -186,6 +186,16 @@ def test_phrase_tombstones(spark, phrase_idx):
         full_map = {int(r["doc_id"]): int(r["n_occ"]) for r in full}
         for r in masked:
             assert int(r["n_occ"]) == full_map[int(r["doc_id"])]
+        # include_doc_ids: the allowed-set filter is the exact complement
+        incl = spark.createDataFrame(
+            [(i,) for i in killed_ids], "doc_id long"
+        )
+        only = search_phrase(
+            spark, idx, qdf, k=1000, query_mode=mode, include_doc_ids=incl
+        ).collect()
+        assert {int(r["doc_id"]) for r in only} == (
+            {int(r["doc_id"]) for r in full} & set(killed_ids)
+        )
 
 
 def test_positions_flag_guards(spark, tmp_path):
