@@ -162,9 +162,35 @@ FROM r WHERE rank <= {_Q58_K}
 """
 
 
+def q59_phrase_search_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DISTRIBUTED phrase plane under the same oracle as q58 — the
+    (query_id, pos, term) relation never touches the driver (executor-side
+    posexplode tokenization, presence-join routing, cogrouped verifier).
+    Together the q58/q59 pair proves the two phrase planes are
+    interchangeable, exactly like the q38/q49 scoring-plane pair."""
+    from dense_retriever_spark.index.phrase import search_phrase
+
+    idx = _q58_positional_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(
+        PHRASE_QUERIES, "query_id long, query string"
+    )
+    res = search_phrase(
+        spark, idx, queries, k=_Q58_K, query_mode="distributed"
+    )
+    return res.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("n_occ").cast("long"),
+        F.col("rank").cast("int"),
+    )
+
+
 QUERIES7: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_merged_index_search": q57_merged_index_search,
     "q58_phrase_search": q58_phrase_search,
+    "q59_phrase_search_distributed": q59_phrase_search_distributed,
 }
 
 
@@ -174,6 +200,7 @@ def _oracles7() -> dict[str, str]:
     return {
         "q57_merged_index_search": Q01_SQL,
         "q58_phrase_search": _q58_sql(),
+        "q59_phrase_search_distributed": _q58_sql(),
     }
 
 
