@@ -137,3 +137,53 @@ def test_block_meta_bounds():
             assert tfs[lo:hi].max() == max_tf[blk]
             assert dls[lo:hi].min() == min_dl[blk]
             assert (tfn[lo:hi] <= bound[blk] * (1 + 1e-12)).all()
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),   # gap to next doc id
+            st.integers(min_value=1, max_value=8),    # tf
+        ),
+        min_size=0, max_size=120,
+    ),
+    st.sampled_from([0, 1, 4096, 10**9, 10**12]),
+)
+@settings(deadline=None, max_examples=60)
+def test_rebase_postings_property(pairs, off):
+    from dense_retriever_spark.index.codec import rebase_postings
+
+    ids = np.cumsum([g for g, _ in pairs]).astype(np.int64)
+    tfs = np.array([t for _, t in pairs], dtype=np.int64)
+    dls = tfs * 7 + 3
+    blob = encode_postings(ids, tfs, dls)
+    i2, t2, d2 = decode_postings(rebase_postings(blob, off))
+    assert (i2 == ids + off).all()
+    assert (t2 == tfs).all() and (d2 == dls).all()
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=5000),
+            min_size=1, max_size=12, unique=True,
+        ),
+        min_size=0, max_size=40,
+    )
+)
+@settings(deadline=None, max_examples=60)
+def test_position_stream_property(doc_positions):
+    from dense_retriever_spark.index.codec import (
+        decode_position_stream,
+        encode_position_stream,
+    )
+
+    parts = [np.sort(np.array(p, dtype=np.int64)) for p in doc_positions]
+    tfs = np.array([len(p) for p in parts], dtype=np.int64)
+    flat = (
+        np.concatenate(parts).astype(np.int64)
+        if parts else np.empty(0, np.int64)
+    )
+    blob = encode_position_stream(flat, tfs)
+    back = decode_position_stream(blob, tfs)
+    assert (back == flat).all()
