@@ -187,10 +187,45 @@ def q59_phrase_search_distributed(
     )
 
 
+# ---------------------------------------------------------------------------
+# q60 — snippet extraction (operators/snippets.py): the token context window
+# around each document's FIRST phrase occurrence, computed entirely with
+# Catalyst array expressions (guarded position sequence → slice equality →
+# window slice → array_join) — zero Python in the data path. The oracle
+# recomputes the identical definition with DuckDB list functions, so the
+# snippet STRINGS themselves are hash-gated, not just the match set.
+# ---------------------------------------------------------------------------
+
+_Q60_WINDOW = 3
+
+
+def q60_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract import _docs
+    from dense_retriever_spark.operators.snippets import snippet_windows
+
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(
+        PHRASE_QUERIES, "query_id long, query string"
+    )
+    return snippet_windows(docs, queries, window=_Q60_WINDOW)
+
+
+def _q60_sql() -> str:
+    from dense_retriever_spark.contract import _TOK_SQL
+    from dense_retriever_spark.operators.snippets import snippet_sql
+
+    arms = [
+        (qid, [t for t in phrase.lower().split() if t])
+        for qid, phrase in PHRASE_QUERIES
+    ]
+    return snippet_sql(arms, _Q60_WINDOW, _TOK_SQL.format(c="text"))
+
+
 QUERIES7: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_merged_index_search": q57_merged_index_search,
     "q58_phrase_search": q58_phrase_search,
     "q59_phrase_search_distributed": q59_phrase_search_distributed,
+    "q60_snippets": q60_snippets,
 }
 
 
@@ -201,6 +236,7 @@ def _oracles7() -> dict[str, str]:
         "q57_merged_index_search": Q01_SQL,
         "q58_phrase_search": _q58_sql(),
         "q59_phrase_search_distributed": _q58_sql(),
+        "q60_snippets": _q60_sql(),
     }
 
 
