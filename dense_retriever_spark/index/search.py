@@ -459,39 +459,16 @@ def search(
     )
 
 
-def _search_broadcast(
-    spark: SparkSession,
-    index_dir: str,
-    stats: dict,
-    queries_df: DataFrame,
-    k: int,
-    use_blockmax: bool,
-    exclude_doc_ids: DataFrame | None,
-    eager: bool,
-    include_doc_ids: DataFrame | None,
-) -> DataFrame:
-    from dense_retriever_spark.operators.bm25 import query_terms
-
-    paths = IndexPaths(index_dir)
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    k1, b = stats["k1"], stats["b"]
-
-    # 1. tokenize queries, collect the tiny (qid, term) relation to the driver
-    qt = query_terms(queries_df).collect()
-    qmap: dict[int, list[str]] = {}
-    for r in qt:
-        qmap.setdefault(int(r["query_id"]), []).append(r["term"])
-    for qid in qmap:
-        qmap[qid] = sorted(set(qmap[qid]))  # sorted-term order everywhere
-    all_terms = sorted({t for ts in qmap.values() for t in ts})
-    if not all_terms:
-        return spark.createDataFrame([], RESULT_SCHEMA)
-
-    # 2. global term stats → idf (term-pruned scan on global/; the collect
-    # is bounded by the query-term set, which the driver already holds).
-    # Per-build term→df cache: repeated vocabulary (interactive sessions,
-    # the bench's tombstoned/filtered re-searches, the refresh loop's fixed
-    # query set) skips this Spark job entirely after the first search.
+def _term_dfs_cached(
+    spark: SparkSession, index_dir: str, stats: dict, all_terms: list[str]
+) -> dict[str, float]:
+    """term → df for ``all_terms`` (−1.0 marks OOV), served from the
+    per-build driver cache where possible (term-pruned scan on global/
+    otherwise; the collect is bounded by the query-term set, which the
+    driver already holds). Repeated vocabulary — interactive sessions, the
+    bench's tombstoned/filtered re-searches, the refresh loop's fixed query
+    set — skips the Spark job entirely after the first lookup. Shared by
+    the broadcast BM25 plane and the boolean plane (index/boolean.py)."""
     cache_key = json.dumps(
         {"dir": index_dir, "stats": stats}, sort_keys=True
     )
@@ -547,6 +524,44 @@ def _search_broadcast(
             # else: this build was evicted (possibly evicted-then-replaced)
             # by a concurrent thread between the collect and here — serve
             # vals, don't resurrect or double-account the entry
+    return vals
+
+
+def _search_broadcast(
+    spark: SparkSession,
+    index_dir: str,
+    stats: dict,
+    queries_df: DataFrame,
+    k: int,
+    use_blockmax: bool,
+    exclude_doc_ids: DataFrame | None,
+    eager: bool,
+    include_doc_ids: DataFrame | None,
+    qt_pairs: list[tuple[int, str]] | None = None,
+) -> DataFrame:
+    from dense_retriever_spark.operators.bm25 import query_terms
+
+    paths = IndexPaths(index_dir)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    k1, b = stats["k1"], stats["b"]
+
+    # 1. tokenize queries, collect the tiny (qid, term) relation to the
+    # driver — unless the caller already holds the rewritten relation
+    # (prefix expansion, index/prefix.py)
+    if qt_pairs is None:
+        qt = query_terms(queries_df).collect()
+        qt_pairs = [(int(r["query_id"]), r["term"]) for r in qt]
+    qmap: dict[int, list[str]] = {}
+    for qid, term in qt_pairs:
+        qmap.setdefault(int(qid), []).append(term)
+    for qid in qmap:
+        qmap[qid] = sorted(set(qmap[qid]))  # sorted-term order everywhere
+    all_terms = sorted({t for ts in qmap.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    # 2. global term stats → idf (see _term_dfs_cached)
+    vals = _term_dfs_cached(spark, index_dir, stats, all_terms)
     idfs = {
         t: idf_fn(v, float(n_docs)) for t, v in vals.items() if v >= 0.0
     }
@@ -635,6 +650,7 @@ def _search_distributed(
     exclude_doc_ids: DataFrame | None,
     eager: bool,
     include_doc_ids: DataFrame | None,
+    qt_override: DataFrame | None = None,
 ) -> DataFrame:
     """The O(1)-driver-state query plane. The (qid, term) relation stays a
     DataFrame end-to-end:
@@ -665,7 +681,13 @@ def _search_distributed(
     # prefilter) and (b) the blocks are explicitly unpersisted in _finish's
     # eager path instead of leaking one checkpointed RDD per call until GC
     # (the training-set regime pins millions of rows per round otherwise).
-    qt = query_terms(queries_df).persist()
+    # ``qt_override``: a caller-rewritten (query_id, term) relation (prefix
+    # expansion, index/prefix.py) replaces the tokenizer output.
+    qt = (
+        qt_override.select("query_id", "term").distinct()
+        if qt_override is not None
+        else query_terms(queries_df)
+    ).persist()
     gstats = global_term_stats(spark, index_dir, stats).select("term", "df")
     # inner join == the broadcast plane's `t in idfs` OOV filter
     qti = qt.join(gstats, "term").select(
