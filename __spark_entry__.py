@@ -27,9 +27,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dense_retriever_spark.contract5 import QUERIES5
     from dense_retriever_spark.contract6 import QUERIES6
     from dense_retriever_spark.contract7 import QUERIES7
+    from dense_retriever_spark.contract8 import QUERIES8
 
     return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5,
-            **QUERIES6, **QUERIES7}
+            **QUERIES6, **QUERIES7, **QUERIES8}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -40,6 +41,7 @@ def oracle_sql() -> dict[str, str]:
     from dense_retriever_spark.contract5 import ORACLES5
     from dense_retriever_spark.contract6 import ORACLES6
     from dense_retriever_spark.contract7 import ORACLES7
+    from dense_retriever_spark.contract8 import ORACLES8
 
     return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5,
-            **ORACLES6, **ORACLES7}
+            **ORACLES6, **ORACLES7, **ORACLES8}

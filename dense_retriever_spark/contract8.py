@@ -1,0 +1,296 @@
+"""Driver-contract queries, wave 7 (round 7, session 3): the boolean /
+prefix / facet query-language extensions under the hash gate.
+
+q61/q62 gate boolean BM25 search (+required / -forbidden / bare scored —
+index/boolean.py) on the broadcast and distributed planes against ONE
+from-scratch DuckDB oracle that re-derives the conjunction, exclusion,
+OOV-required and role-conflict rules relationally from the raw text. q63
+gates prefix expansion (index/prefix.py): the oracle rebuilds the term
+dictionary from the corpus, expands ``LIKE prefix%`` with the same
+deterministic per-pattern truncation, and scores the expanded disjunction
+with the q01 BM25 math. q64 gates facet_counts (operators/facets.py) over
+the q38 result set — the oracle recomputes the top-10 with Q01_SQL and
+aggregates the same (lang, source) histograms.
+
+All four run over the SAME index artifact q38 builds (contract4's cached
+fixture), so the wave adds zero extra index builds to the gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dense_retriever_spark import BM25_B, BM25_K1
+
+# documents-table vocabulary (TESTDATA.md): query plan window customer data
+# stream join filter group slow table scan merge spark row batch sort hash
+# value part key agg fast small big line column vector order a the
+BOOLEAN_QUERIES: list[tuple[int, str]] = [
+    (0, "+table scan"),            # one required + one optional
+    (1, "+join +filter group"),    # conjunction + optional
+    (2, "customer -stream"),       # exclusion
+    (3, "+merge -batch -sort"),    # required + two exclusions
+    (4, "+zzqqnope table"),        # OOV required → matches nothing
+    (5, "spark -spark row"),       # role conflict: forbidden wins
+]
+
+PREFIX_QUERIES: list[tuple[int, str]] = [
+    (0, "s* customer"),            # wide expansion (scan slow spark sort …)
+    (1, "quer*"),                  # single-term expansion
+    (2, "zzqq* merge"),            # no-match pattern + literal
+    (3, "val* part"),
+]
+
+_K = 10
+_OVERFETCH = 50
+_MAX_EXP = 1024
+
+
+def _rounded(raw: DataFrame, k: int = _K) -> DataFrame:
+    from dense_retriever_spark.contract5 import _rounded_topk
+
+    return _rounded_topk(raw, k)
+
+
+def q61_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract4 import _q38_index_dir
+    from dense_retriever_spark.index.boolean import search_boolean
+
+    idx = _q38_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(
+        BOOLEAN_QUERIES, "query_id long, query string"
+    )
+    return _rounded(search_boolean(spark, idx, queries, k=_OVERFETCH))
+
+
+def q62_boolean_search_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The distributed boolean plane under the SAME oracle as q61 — the
+    q61/q62 pair proves plane interchangeability exactly like q38/q49 and
+    q58/q59."""
+    from dense_retriever_spark.contract4 import _q38_index_dir
+    from dense_retriever_spark.index.boolean import search_boolean
+
+    idx = _q38_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(
+        BOOLEAN_QUERIES, "query_id long, query string"
+    )
+    return _rounded(
+        search_boolean(
+            spark, idx, queries, k=_OVERFETCH, query_mode="distributed"
+        )
+    )
+
+
+def _boolean_sql() -> str:
+    from dense_retriever_spark.contract import _TOK_SQL
+    from dense_retriever_spark.index.boolean import parse_boolean_query
+
+    vals = []
+    for qid, q in BOOLEAN_QUERIES:
+        for term, role in parse_boolean_query(q):
+            vals.append(f"({qid}, '{term}', {role})")
+    qterms = ", ".join(vals)
+    return f"""
+WITH qterms(query_id, term, role) AS (VALUES {qterms}),
+tok AS (
+  SELECT doc_id, {_TOK_SQL.format(c='text')} AS terms FROM documents
+),
+dd  AS (SELECT doc_id, terms, len(terms) AS dl FROM tok WHERE len(terms) > 0),
+st  AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd),
+tf  AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, min(dl)::DOUBLE AS dl
+  FROM (SELECT doc_id, unnest(terms) AS term, dl FROM dd)
+  GROUP BY doc_id, term
+),
+dfr AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms WHERE role < 2) GROUP BY term
+),
+dead AS (  -- an out-of-vocabulary REQUIRED term kills its query
+  SELECT DISTINCT q.query_id FROM qterms q LEFT JOIN dfr USING (term)
+  WHERE q.role = 1 AND dfr.term IS NULL
+),
+reqn AS (
+  SELECT query_id, count(*) AS n_req FROM qterms WHERE role = 1
+  GROUP BY query_id
+),
+con AS (
+  SELECT q.query_id, tf.doc_id, q.role, q.term,
+         ((ln(1 + (st.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf) * {BM25_K1 + 1.0})
+         / (tf.tf + {BM25_K1}*({1.0 - BM25_B} + ({BM25_B}*tf.dl)/st.avgdl)) AS c
+  FROM tf JOIN qterms q USING (term) JOIN dfr USING (term) CROSS JOIN st
+  WHERE q.role < 2
+),
+sc AS (
+  SELECT query_id, doc_id, round(sum(c), 4) AS score,
+         count(DISTINCT CASE WHEN role = 1 THEN term END) AS got_req
+  FROM con GROUP BY query_id, doc_id
+),
+neg AS (
+  SELECT DISTINCT q.query_id, tf.doc_id
+  FROM tf JOIN qterms q USING (term) WHERE q.role = 2
+),
+ok AS (
+  SELECT sc.query_id, sc.doc_id, sc.score
+  FROM sc LEFT JOIN reqn USING (query_id)
+  WHERE coalesce(reqn.n_req, 0) = sc.got_req
+    AND sc.query_id NOT IN (SELECT query_id FROM dead)
+    AND NOT EXISTS (SELECT 1 FROM neg
+                    WHERE neg.query_id = sc.query_id
+                      AND neg.doc_id = sc.doc_id)
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ok
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       score::DOUBLE AS score, rank::INT AS rank
+FROM rk WHERE rank <= {_K}
+"""
+
+
+def q63_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract4 import _q38_index_dir
+    from dense_retriever_spark.index.prefix import search_prefix
+
+    idx = _q38_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(
+        PREFIX_QUERIES, "query_id long, query string"
+    )
+    return _rounded(
+        search_prefix(
+            spark, idx, queries, k=_OVERFETCH, max_expansions=_MAX_EXP
+        )
+    )
+
+
+def _prefix_sql() -> str:
+    from dense_retriever_spark.contract import _TOK_SQL
+    from dense_retriever_spark.index.prefix import split_prefix_query
+
+    lit_vals, pfx_vals = [], []
+    for qid, q in PREFIX_QUERIES:
+        lits, stems = split_prefix_query(q)
+        for seg in lits:
+            # literal segments tokenize like any query text (the gate's
+            # segments are single plain tokens, so lower() is the whole
+            # tokenizer here — asserted by the engine side matching)
+            lit_vals.append(f"({qid}, '{seg.lower()}')")
+        for s in stems:
+            pfx_vals.append(f"({qid}, '{s}')")
+    lit_sql = ", ".join(lit_vals) or "(NULL, NULL)"
+    pfx_sql = ", ".join(pfx_vals) or "(NULL, NULL)"
+    return f"""
+WITH qlit(query_id, term) AS (VALUES {lit_sql}),
+qpfx(query_id, prefix) AS (VALUES {pfx_sql}),
+tok AS (
+  SELECT doc_id, {_TOK_SQL.format(c='text')} AS terms FROM documents
+),
+dd  AS (SELECT doc_id, terms, len(terms) AS dl FROM tok WHERE len(terms) > 0),
+st  AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd),
+tf  AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, min(dl)::DOUBLE AS dl
+  FROM (SELECT doc_id, unnest(terms) AS term, dl FROM dd)
+  GROUP BY doc_id, term
+),
+dict AS (SELECT DISTINCT term FROM tf),
+expd AS (  -- per-pattern deterministic truncation, engine rule
+  SELECT prefix, term FROM (
+    SELECT dp.prefix, d.term,
+           row_number() OVER (PARTITION BY dp.prefix ORDER BY d.term) AS rn
+    FROM (SELECT DISTINCT prefix FROM qpfx WHERE prefix IS NOT NULL) dp
+    JOIN dict d ON starts_with(d.term, dp.prefix)
+  ) WHERE rn <= {_MAX_EXP}
+),
+qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, term FROM qlit WHERE query_id IS NOT NULL
+    UNION ALL
+    SELECT p.query_id, e.term FROM qpfx p JOIN expd e USING (prefix)
+  )
+),
+dfr AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+con AS (
+  SELECT qt.query_id, tf.doc_id,
+         ((ln(1 + (st.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf) * {BM25_K1 + 1.0})
+         / (tf.tf + {BM25_K1}*({1.0 - BM25_B} + ({BM25_B}*tf.dl)/st.avgdl)) AS c
+  FROM tf JOIN qt USING (term) JOIN dfr USING (term) CROSS JOIN st
+),
+sc AS (
+  SELECT query_id, doc_id, round(sum(c), 4) AS score
+  FROM con GROUP BY query_id, doc_id
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       score::DOUBLE AS score, rank::INT AS rank
+FROM rk WHERE rank <= {_K}
+"""
+
+
+def q64_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract import _docs
+    from dense_retriever_spark.contract4 import q38_indexed_search
+    from dense_retriever_spark.operators.facets import facet_counts
+
+    res = q38_indexed_search(spark, sf_dir)  # hash-matches Q01's top-10
+    docs = _docs(spark, sf_dir)
+    return facet_counts(res, docs, ["lang", "source"]).select(
+        F.col("query_id").cast("long"),
+        F.col("facet").cast("string"),
+        F.col("value").cast("string"),
+        F.col("n_docs").cast("long"),
+    )
+
+
+def _facet_sql() -> str:
+    from dense_retriever_spark.contract import Q01_SQL
+
+    return f"""
+WITH res AS ({Q01_SQL}),
+j AS (
+  SELECT r.query_id, d.lang, d.source
+  FROM res r JOIN documents d USING (doc_id)
+)
+SELECT query_id::BIGINT AS query_id, 'lang' AS facet,
+       lang::VARCHAR AS value, count(*)::BIGINT AS n_docs
+FROM j GROUP BY 1, 3
+UNION ALL
+SELECT query_id::BIGINT, 'source', source::VARCHAR, count(*)::BIGINT
+FROM j GROUP BY 1, 3
+"""
+
+
+QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q61_boolean_search": q61_boolean_search,
+    "q62_boolean_search_distributed": q62_boolean_search_distributed,
+    "q63_prefix_search": q63_prefix_search,
+    "q64_facet_counts": q64_facet_counts,
+}
+
+
+def _oracles8() -> dict[str, str]:
+    bsql = _boolean_sql()
+    return {
+        "q61_boolean_search": bsql,
+        "q62_boolean_search_distributed": bsql,
+        "q63_prefix_search": _prefix_sql(),
+        "q64_facet_counts": _facet_sql(),
+    }
+
+
+ORACLES8: dict[str, str] = _oracles8()
