@@ -113,18 +113,46 @@ def cmd_search(args) -> None:
             F.col("doc_id").cast("long").alias("doc_id")
         )
 
-    res = search(
-        spark, args.index_dir, queries, k=args.top_n,
+    common = dict(
+        k=args.top_n,
         exclude_doc_ids=ids(args.exclude_ids),
         include_doc_ids=ids(args.include_ids),
         query_mode=args.query_mode,
         eager=not args.lazy,
     )
+    if args.syntax == "boolean":
+        from dense_retriever_spark.index.boolean import search_boolean
+
+        res = search_boolean(spark, args.index_dir, queries, **common)
+    elif args.syntax == "prefix":
+        from dense_retriever_spark.index.prefix import search_prefix
+
+        res = search_prefix(
+            spark, args.index_dir, queries,
+            max_expansions=args.max_expansions, **common,
+        )
+    else:
+        res = search(spark, args.index_dir, queries, **common)
     res.write.mode("overwrite").parquet(args.out)
     # count the WRITTEN parquet — counting `res` under --lazy would re-run
     # the whole search a second time
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"results": args.out, "rows": n}))
+
+
+def cmd_facets(args) -> None:
+    spark = _spark(args)
+    from dense_retriever_spark.operators.facets import facet_counts
+
+    res = spark.read.parquet(args.results)
+    docs = spark.read.parquet(args.docs)
+    out = facet_counts(
+        res, docs, [c.strip() for c in args.columns.split(",") if c.strip()],
+        id_col=args.id_col,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"facets": args.out, "rows": n}))
 
 
 def cmd_evaluate(args) -> None:
@@ -536,8 +564,28 @@ def main(argv=None) -> None:
                    help="skip eager executor-side materialization (results "
                         "are written below either way; lazy defers the per-"
                         "call broadcast release to GC)")
+    s.add_argument("--syntax", default="plain",
+                   choices=["plain", "boolean", "prefix"],
+                   help="query grammar: plain BM25 bag-of-terms; boolean "
+                        "(+required / -forbidden segments); prefix "
+                        "(trailing-* segments expand against the term "
+                        "dictionary)")
+    s.add_argument("--max-expansions", type=int, default=1024,
+                   help="prefix syntax: per-pattern dictionary expansion "
+                        "cap (lexicographically smallest terms win)")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_search)
+
+    fa = sub.add_parser("facets")
+    fa.add_argument("--results", required=True,
+                    help="parquet search results (query_id, doc_id, ...)")
+    fa.add_argument("--docs", required=True,
+                    help="parquet document metadata table")
+    fa.add_argument("--columns", required=True,
+                    help="comma-separated facet columns, e.g. lang,source")
+    fa.add_argument("--id-col", default="doc_id")
+    fa.add_argument("--out", required=True)
+    fa.set_defaults(fn=cmd_facets)
 
     e = sub.add_parser("evaluate")
     e.add_argument("--results", required=True)

@@ -436,3 +436,49 @@ def test_cli_merge_indexes_and_phrase_search(spark, tmp_path, capsys):
     res = spark.read.parquet(rpath)
     assert out2["rows"] == res.count()
     assert res.filter(F.col("query_id") == 1).count() == 0
+
+
+def test_cli_boolean_prefix_facets(spark, tmp_path, capsys):
+    import json as _json
+
+    from dense_retriever_spark import cli
+    from dense_retriever_spark.corpus import ingest, synth_corpus
+    from dense_retriever_spark.index.build import build_index
+
+    corpus = ingest(synth_corpus(spark, 128, seed=9)).localCheckpoint(
+        eager=True
+    )
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, docs_per_shard=32, term_buckets=2)
+
+    qpath = str(tmp_path / "bool.tsv")
+    with open(qpath, "w") as f:
+        f.write("0\t+merge batch\n1\t+zzznotaterm merge\n")
+    rdir = str(tmp_path / "bool_res")
+    cli.main(["search", "--index-dir", idx, "--queries", qpath,
+              "--syntax", "boolean", "--top-n", "5", "--out", rdir])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    res = spark.read.parquet(rdir)
+    assert out["rows"] == res.count() > 0
+    assert res.filter(F.col("query_id") == 1).count() == 0  # OOV required
+
+    ppath = str(tmp_path / "pfx.tsv")
+    with open(ppath, "w") as f:
+        f.write("0\tsym000* merge\n")
+    pdir = str(tmp_path / "pfx_res")
+    cli.main(["search", "--index-dir", idx, "--queries", ppath,
+              "--syntax", "prefix", "--top-n", "5", "--out", pdir])
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows"] == spark.read.parquet(pdir).count() > 0
+
+    # facet the boolean results over lang (docs metadata = the corpus table)
+    docs_dir = str(tmp_path / "docsmeta")
+    corpus.select("doc_id", "lang").write.parquet(docs_dir)
+    fdir = str(tmp_path / "facets")
+    cli.main(["facets", "--results", rdir, "--docs", docs_dir,
+              "--columns", "lang", "--out", fdir])
+    out3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    fres = spark.read.parquet(fdir)
+    assert out3["rows"] == fres.count() > 0
+    total = fres.agg(F.sum("n_docs").alias("s")).collect()[0]["s"]
+    assert total == res.select("doc_id").distinct().count() or total == res.count()
