@@ -17,6 +17,14 @@ local[$SPARK_GRAFT_CPUS]:
                      index, COLD (term-df cache cleared), median of 3
   q_search_tombstoned — the same 100 queries with a ~14% kill-list applied
                      (block-max stays live on masked postings)
+  q_search_boolean — the 100 queries as "+req opt -forbidden" boolean
+                     grammar (per-shard intersection + exclusion)
+  q_search_prefix  — the 100 queries with the first term as a 4-char
+                     trailing-* dictionary pattern; ~40% of the patterns
+                     legitimately expand to ~400 rare terms (the synthetic
+                     vocab's sym#### tail), so this measures wide-
+                     disjunction scoring (~15.7k query-term pairs vs ~300
+                     for q_search_indexed), not per-query overhead
   q_search_bigbatch_dist — 5k queries on the distributed plane, median of 3
   q_stream_refresh_round — one drain→refresh→ack window: ~10k new docs
                      folded incrementally into the existing corpus index
@@ -248,6 +256,45 @@ def main() -> None:
     ).count())
     extra["search_filtered_p50_ms_per_query"] = round(
         timings["q_search_filtered"] / 100 * 1000, 2
+    )
+
+    # boolean search: the same 100 queries rewritten to
+    # "+first second -third" (first term required, third forbidden when
+    # present) — postings-intersection conjunction + exclusion per shard
+    from dense_retriever_spark.index.boolean import search_boolean
+
+    bool_q = queries.selectExpr(
+        "query_id",
+        "concat('+', split(query, ' ')[0],"
+        " case when size(split(query, ' ')) > 1"
+        "      then concat(' ', split(query, ' ')[1]) else '' end,"
+        " case when size(split(query, ' ')) > 2"
+        "      then concat(' -', split(query, ' ')[2]) else '' end)"
+        " as query",
+    )
+    timed("q_search_boolean", lambda: search_boolean(
+        spark, idx_dir, bool_q, k=10
+    ).count())
+    extra["boolean_p50_ms_per_query"] = round(
+        timings["q_search_boolean"] / 100 * 1000, 2
+    )
+
+    # prefix search: first term truncated to a 4-char trailing-* pattern
+    # (dictionary StartsWith scan + expanded-disjunction scoring)
+    from dense_retriever_spark.index.prefix import search_prefix
+
+    pfx_q = queries.selectExpr(
+        "query_id",
+        "concat(substring(split(query, ' ')[0], 1, 4), '*',"
+        " case when size(split(query, ' ')) > 1"
+        "      then concat(' ', split(query, ' ')[1]) else '' end)"
+        " as query",
+    )
+    timed("q_search_prefix", lambda: search_prefix(
+        spark, idx_dir, pfx_q, k=10
+    ).count())
+    extra["prefix_p50_ms_per_query"] = round(
+        timings["q_search_prefix"] / 100 * 1000, 2
     )
 
     # distributed query plane: a 5k-query batch flowing as a RELATION

@@ -170,10 +170,25 @@ def search_prefix(
     if query_mode == "broadcast":
         # interactive plane: the rewritten relation is bounded by
         # |literal terms| + max_expansions × |patterns| — collected like
-        # search()'s (qid, term) relation. Truncation check rides the same
-        # collect (count per pattern == the cap ⇒ the window clipped it).
-        rows = exp.groupBy("prefix").count().collect()
-        clipped = [r["prefix"] for r in rows if r["count"] >= max_expansions]
+        # search()'s (qid, term) relation, in ONE job (literals marked by
+        # prefix NULL) so the dictionary scan runs once, not once per
+        # truncation-check/collect. The truncation check rides the same
+        # collect: a pattern whose expanded-term count hit the cap was
+        # clipped by the window. Residual prefix-search latency over plain
+        # search is the expanded disjunction itself (a short pattern over a
+        # heavy-tailed dictionary can legally score hundreds of terms per
+        # query — the oracle pays the same), not plan overhead.
+        both = lits.select(
+            "query_id", "term", F.lit(None).cast("string").alias("prefix")
+        ).unionByName(exp)
+        rows = both.collect()
+        per_prefix: dict[str, set[str]] = {}
+        for r in rows:
+            if r["prefix"] is not None:
+                per_prefix.setdefault(r["prefix"], set()).add(r["term"])
+        clipped = sorted(
+            p for p, ts in per_prefix.items() if len(ts) >= max_expansions
+        )
         if clipped:
             warnings.warn(
                 f"prefix pattern(s) {clipped} expanded to ≥{max_expansions} "
@@ -182,10 +197,9 @@ def search_prefix(
                 RuntimeWarning,
                 stacklevel=2,
             )
-        qt_pairs = [
-            (int(r["query_id"]), r["term"])
-            for r in qt.collect()
-        ]
+        qt_pairs = sorted(
+            {(int(r["query_id"]), r["term"]) for r in rows}
+        )
         if not qt_pairs:
             return spark.createDataFrame([], RESULT_SCHEMA)
         return _search_broadcast(
