@@ -131,6 +131,13 @@ def cmd_search(args) -> None:
             spark, args.index_dir, queries,
             max_expansions=args.max_expansions, **common,
         )
+    elif args.syntax == "fuzzy":
+        from dense_retriever_spark.index.fuzzy import search_fuzzy
+
+        res = search_fuzzy(
+            spark, args.index_dir, queries,
+            max_edits=args.max_edits, **common,
+        )
     else:
         res = search(spark, args.index_dir, queries, **common)
     res.write.mode("overwrite").parquet(args.out)
@@ -565,14 +572,18 @@ def main(argv=None) -> None:
                         "are written below either way; lazy defers the per-"
                         "call broadcast release to GC)")
     s.add_argument("--syntax", default="plain",
-                   choices=["plain", "boolean", "prefix"],
+                   choices=["plain", "boolean", "prefix", "fuzzy"],
                    help="query grammar: plain BM25 bag-of-terms; boolean "
                         "(+required / -forbidden segments); prefix "
                         "(trailing-* segments expand against the term "
-                        "dictionary)")
+                        "dictionary); fuzzy (trailing-~ segments match at "
+                        "bounded edit distance)")
     s.add_argument("--max-expansions", type=int, default=1024,
                    help="prefix syntax: per-pattern dictionary expansion "
                         "cap (lexicographically smallest terms win)")
+    s.add_argument("--max-edits", type=int, default=1,
+                   help="fuzzy syntax: default edit distance for bare ~ "
+                        "segments (~1 / ~2 pin it per segment; max 2)")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_search)
 

@@ -10,9 +10,12 @@ dictionary from the corpus, expands ``LIKE prefix%`` with the same
 deterministic per-pattern truncation, and scores the expanded disjunction
 with the q01 BM25 math. q64 gates facet_counts (operators/facets.py) over
 the q38 result set — the oracle recomputes the top-10 with Q01_SQL and
-aggregates the same (lang, source) histograms.
+aggregates the same (lang, source) histograms. q65 gates fuzzy search
+(index/fuzzy.py): the engine's deletion-neighborhood join + levenshtein
+verify must produce exactly {t : lev(stem, t) <= e}, which the oracle
+states directly with DuckDB's levenshtein() over the rebuilt dictionary.
 
-All four run over the SAME index artifact q38 builds (contract4's cached
+All five run over the SAME index artifact q38 builds (contract4's cached
 fixture), so the wave adds zero extra index builds to the gate.
 """
 
@@ -242,6 +245,91 @@ FROM rk WHERE rank <= {_K}
 """
 
 
+FUZZY_QUERIES: list[tuple[int, str]] = [
+    (0, "merg~ window"),     # 1-edit neighbor + literal
+    (1, "qery~2 table"),     # 2-edit segment
+    (2, "zzzzzz~ scan"),     # no fuzzy match + literal
+    (3, "stram~"),           # 1-edit only
+    (4, "haash~2"),
+]
+
+
+def q65_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract4 import _q38_index_dir
+    from dense_retriever_spark.index.fuzzy import search_fuzzy
+
+    idx = _q38_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(
+        FUZZY_QUERIES, "query_id long, query string"
+    )
+    return _rounded(search_fuzzy(spark, idx, queries, k=_OVERFETCH))
+
+
+def _fuzzy_sql() -> str:
+    from dense_retriever_spark.contract import _TOK_SQL
+    from dense_retriever_spark.index.fuzzy import split_fuzzy_query
+
+    lit_vals, fz_vals = [], []
+    for qid, q in FUZZY_QUERIES:
+        lits, fuzz = split_fuzzy_query(q)
+        for seg in lits:
+            lit_vals.append(f"({qid}, '{seg.lower()}')")
+        for stem, edits in fuzz:
+            fz_vals.append(f"({qid}, '{stem}', {edits})")
+    lit_sql = ", ".join(lit_vals) or "(NULL, NULL)"
+    fz_sql = ", ".join(fz_vals) or "(NULL, NULL, NULL)"
+    return f"""
+WITH qlit(query_id, term) AS (VALUES {lit_sql}),
+qfz(query_id, stem, edits) AS (VALUES {fz_sql}),
+tok AS (
+  SELECT doc_id, {_TOK_SQL.format(c='text')} AS terms FROM documents
+),
+dd  AS (SELECT doc_id, terms, len(terms) AS dl FROM tok WHERE len(terms) > 0),
+st  AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd),
+tf  AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, min(dl)::DOUBLE AS dl
+  FROM (SELECT doc_id, unnest(terms) AS term, dl FROM dd)
+  GROUP BY doc_id, term
+),
+dict AS (SELECT DISTINCT term FROM tf),
+expd AS (  -- the engine's expansion set is exactly {{t : lev(stem,t) <= e}}
+  SELECT f.query_id, d.term
+  FROM qfz f JOIN dict d ON levenshtein(f.stem, d.term) <= f.edits
+  WHERE f.query_id IS NOT NULL
+),
+qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, term FROM qlit WHERE query_id IS NOT NULL
+    UNION ALL
+    SELECT query_id, term FROM expd
+  )
+),
+dfr AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+con AS (
+  SELECT qt.query_id, tf.doc_id,
+         ((ln(1 + (st.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf) * {BM25_K1 + 1.0})
+         / (tf.tf + {BM25_K1}*({1.0 - BM25_B} + ({BM25_B}*tf.dl)/st.avgdl)) AS c
+  FROM tf JOIN qt USING (term) JOIN dfr USING (term) CROSS JOIN st
+),
+sc AS (
+  SELECT query_id, doc_id, round(sum(c), 4) AS score
+  FROM con GROUP BY query_id, doc_id
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       score::DOUBLE AS score, rank::INT AS rank
+FROM rk WHERE rank <= {_K}
+"""
+
+
 def q64_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dense_retriever_spark.contract import _docs
     from dense_retriever_spark.contract4 import q38_indexed_search
@@ -280,6 +368,7 @@ QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_boolean_search_distributed": q62_boolean_search_distributed,
     "q63_prefix_search": q63_prefix_search,
     "q64_facet_counts": q64_facet_counts,
+    "q65_fuzzy_search": q65_fuzzy_search,
 }
 
 
@@ -290,6 +379,7 @@ def _oracles8() -> dict[str, str]:
         "q62_boolean_search_distributed": bsql,
         "q63_prefix_search": _prefix_sql(),
         "q64_facet_counts": _facet_sql(),
+        "q65_fuzzy_search": _fuzzy_sql(),
     }
 
 

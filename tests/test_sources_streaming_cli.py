@@ -482,3 +482,29 @@ def test_cli_boolean_prefix_facets(spark, tmp_path, capsys):
     assert out3["rows"] == fres.count() > 0
     total = fres.agg(F.sum("n_docs").alias("s")).collect()[0]["s"]
     assert total == res.select("doc_id").distinct().count() or total == res.count()
+
+
+def test_cli_fuzzy_syntax(spark, tmp_path, capsys):
+    import json as _json
+
+    from dense_retriever_spark import cli
+    from dense_retriever_spark.corpus import ingest, synth_corpus
+    from dense_retriever_spark.index.build import build_index
+
+    corpus = ingest(synth_corpus(spark, 128, seed=11)).localCheckpoint(
+        eager=True
+    )
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, docs_per_shard=32, term_buckets=2)
+
+    qpath = str(tmp_path / "fz.tsv")
+    with open(qpath, "w") as f:
+        f.write("0\tmerg~ batch\n1\tzzzzzz~\n")
+    rdir = str(tmp_path / "fz_res")
+    cli.main(["search", "--index-dir", idx, "--queries", qpath,
+              "--syntax", "fuzzy", "--max-edits", "1",
+              "--top-n", "5", "--out", rdir])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    res = spark.read.parquet(rdir)
+    assert out["rows"] == res.count() > 0
+    assert res.filter(F.col("query_id") == 1).count() == 0
