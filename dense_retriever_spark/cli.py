@@ -147,6 +147,44 @@ def cmd_search(args) -> None:
     print(json.dumps({"results": args.out, "rows": n}))
 
 
+def cmd_count_matches(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.index.boolean import count_matches
+    from dense_retriever_spark.sources.readers import read_queries_tsv
+
+    queries = read_queries_tsv(spark, args.queries).selectExpr(
+        "qid as query_id", "text as query"
+    )
+    excl = (
+        spark.read.parquet(args.exclude_ids).select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+        if args.exclude_ids
+        else None
+    )
+    res = count_matches(
+        spark, args.index_dir, queries, exclude_doc_ids=excl
+    )
+    res.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"counts": args.out, "rows": n}))
+
+
+def cmd_suggest_terms(args) -> None:
+    spark = _spark(args)
+    from dense_retriever_spark.index.fuzzy import suggest_terms
+
+    terms = spark.read.text(args.terms).selectExpr("value as term")
+    res = suggest_terms(
+        spark, args.index_dir, terms, max_edits=args.max_edits, k=args.top_n
+    )
+    res.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"suggestions": args.out, "rows": n}))
+
+
 def cmd_facets(args) -> None:
     spark = _spark(args)
     from dense_retriever_spark.operators.facets import facet_counts
@@ -586,6 +624,24 @@ def main(argv=None) -> None:
                         "segments (~1 / ~2 pin it per segment; max 2)")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_search)
+
+    cm = sub.add_parser("count-matches")
+    cm.add_argument("--index-dir", required=True)
+    cm.add_argument("--queries", required=True,
+                    help="TSV qid\\tquery (boolean grammar supported)")
+    cm.add_argument("--exclude-ids", default=None,
+                    help="parquet (doc_id): tombstone kill-list")
+    cm.add_argument("--out", required=True)
+    cm.set_defaults(fn=cmd_count_matches)
+
+    sg = sub.add_parser("suggest-terms")
+    sg.add_argument("--index-dir", required=True)
+    sg.add_argument("--terms", required=True,
+                    help="text file, one term per line")
+    sg.add_argument("--max-edits", type=int, default=1)
+    sg.add_argument("--top-n", type=int, default=5)
+    sg.add_argument("--out", required=True)
+    sg.set_defaults(fn=cmd_suggest_terms)
 
     fa = sub.add_parser("facets")
     fa.add_argument("--results", required=True,

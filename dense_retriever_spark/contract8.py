@@ -363,12 +363,131 @@ FROM j GROUP BY 1, 3
 """
 
 
+def q66_count_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract4 import _q38_index_dir
+    from dense_retriever_spark.index.boolean import count_matches
+
+    idx = _q38_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(
+        BOOLEAN_QUERIES, "query_id long, query string"
+    )
+    return count_matches(spark, idx, queries).select(
+        F.col("query_id").cast("long"),
+        F.col("n_matches").cast("long"),
+    )
+
+
+def _count_sql() -> str:
+    from dense_retriever_spark.contract import _TOK_SQL
+    from dense_retriever_spark.index.boolean import parse_boolean_query
+
+    vals, allq = [], []
+    for qid, q in BOOLEAN_QUERIES:
+        allq.append(f"({qid})")
+        for term, role in parse_boolean_query(q):
+            vals.append(f"({qid}, '{term}', {role})")
+    return f"""
+WITH qterms(query_id, term, role) AS (VALUES {", ".join(vals)}),
+allq(query_id) AS (VALUES {", ".join(allq)}),
+tok AS (
+  SELECT doc_id, {_TOK_SQL.format(c='text')} AS terms FROM documents
+),
+dd  AS (SELECT doc_id, terms FROM tok WHERE len(terms) > 0),
+tfp AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest(terms) AS term FROM dd)
+),
+reqn AS (
+  SELECT query_id, count(*) AS n_req FROM qterms WHERE role = 1
+  GROUP BY query_id
+),
+hit AS (  -- docs with >=1 positive term; count required hits alongside
+  SELECT q.query_id, tfp.doc_id,
+         count(DISTINCT CASE WHEN q.role = 1 THEN q.term END) AS got_req
+  FROM tfp JOIN qterms q USING (term)
+  WHERE q.role < 2
+  GROUP BY q.query_id, tfp.doc_id
+),
+neg AS (
+  SELECT DISTINCT q.query_id, tfp.doc_id
+  FROM tfp JOIN qterms q USING (term) WHERE q.role = 2
+),
+ok AS (
+  SELECT hit.query_id, hit.doc_id
+  FROM hit LEFT JOIN reqn USING (query_id)
+  WHERE coalesce(reqn.n_req, 0) = hit.got_req
+    AND NOT EXISTS (SELECT 1 FROM neg
+                    WHERE neg.query_id = hit.query_id
+                      AND neg.doc_id = hit.doc_id)
+),
+cnt AS (SELECT query_id, count(*) AS n FROM ok GROUP BY query_id)
+SELECT a.query_id::BIGINT AS query_id,
+       coalesce(cnt.n, 0)::BIGINT AS n_matches
+FROM allq a LEFT JOIN cnt USING (query_id)
+"""
+
+
+SUGGEST_TERMS: list[str] = ["tble", "scann", "merge", "qery", "zzqqzz"]
+
+
+def q67_suggest_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract4 import _q38_index_dir
+    from dense_retriever_spark.index.fuzzy import suggest_terms
+
+    idx = _q38_index_dir(spark, sf_dir)
+    terms = spark.createDataFrame(
+        [(t,) for t in SUGGEST_TERMS], "term string"
+    )
+    return suggest_terms(spark, idx, terms, max_edits=2, k=3).select(
+        F.col("term").cast("string"),
+        F.col("suggestion").cast("string"),
+        F.col("distance").cast("int"),
+        F.col("df").cast("long"),
+        F.col("rank").cast("int"),
+    )
+
+
+def _suggest_sql() -> str:
+    from dense_retriever_spark.contract import _TOK_SQL
+
+    tvals = ", ".join(f"('{t}')" for t in SUGGEST_TERMS)
+    return f"""
+WITH q(term) AS (VALUES {tvals}),
+tok AS (
+  SELECT doc_id, {_TOK_SQL.format(c='text')} AS terms FROM documents
+),
+dd  AS (SELECT doc_id, terms FROM tok WHERE len(terms) > 0),
+dict AS (
+  SELECT term AS suggestion, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(terms) AS term FROM dd)
+  GROUP BY term
+),
+m AS (
+  SELECT q.term, d.suggestion,
+         levenshtein(q.term, d.suggestion)::INT AS distance, d.df
+  FROM q JOIN dict d ON levenshtein(q.term, d.suggestion) <= 2
+),
+r AS (
+  SELECT term, suggestion, distance, df,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY distance ASC, df DESC,
+                                     suggestion ASC) AS rank
+  FROM m
+)
+SELECT term::VARCHAR AS term, suggestion::VARCHAR AS suggestion,
+       distance::INT AS distance, df::BIGINT AS df, rank::INT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 QUERIES8: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_boolean_search": q61_boolean_search,
     "q62_boolean_search_distributed": q62_boolean_search_distributed,
     "q63_prefix_search": q63_prefix_search,
     "q64_facet_counts": q64_facet_counts,
     "q65_fuzzy_search": q65_fuzzy_search,
+    "q66_count_matches": q66_count_matches,
+    "q67_suggest_terms": q67_suggest_terms,
 }
 
 
@@ -380,6 +499,8 @@ def _oracles8() -> dict[str, str]:
         "q63_prefix_search": _prefix_sql(),
         "q64_facet_counts": _facet_sql(),
         "q65_fuzzy_search": _fuzzy_sql(),
+        "q66_count_matches": _count_sql(),
+        "q67_suggest_terms": _suggest_sql(),
     }
 
 

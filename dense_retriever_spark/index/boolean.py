@@ -201,6 +201,192 @@ def _match_shard_boolean(
     )
 
 
+def _count_shard_boolean(
+    pdf: pd.DataFrame,
+    queries: dict[int, tuple[list[str], list[str], list[str]]],
+    dps: int,
+    excl: np.ndarray | None = None,
+    incl: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Counting body: per-shard MATCH-SET SIZE per query (same candidate
+    algebra as _match_shard_boolean, no scoring — df/idf lookups are never
+    run on the counting path). Doc ids are unique to their shard, so the
+    global count is a plain sum."""
+    empty = pd.DataFrame({"query_id": [], "n_matches": []}).astype(
+        {"query_id": "int64", "n_matches": "int64"}
+    )
+    if len(pdf) == 0 or not queries:
+        return empty
+    shard = int(pdf["shard"].iloc[0])
+    base = shard * dps
+    shard_excl = None
+    if excl is not None and excl.size:
+        lo, hi = np.searchsorted(excl, [base, base + dps])
+        shard_excl = excl[lo:hi]
+        if shard_excl.size == 0:
+            shard_excl = None
+    row_of = {t: i for i, t in enumerate(pdf["term"].to_numpy())}
+    decoded: dict[str, np.ndarray] = {}
+
+    def dec(term):
+        got = decoded.get(term)
+        if got is None:
+            ids, _tfs, _dls = decode_postings(
+                pdf["postings"].iloc[row_of[term]]
+            )
+            if shard_excl is not None:
+                ids = ids[~np.isin(ids, shard_excl, assume_unique=True)]
+            if incl is not None and ids.size:
+                ids = ids[np.isin(ids, incl, assume_unique=True)]
+            got = decoded[term] = ids
+        return got
+
+    out_q, out_n = [], []
+    for qid, (scored, req, neg) in queries.items():
+        if any(r not in row_of for r in req):
+            continue
+        if req:
+            req_ids = sorted((dec(r) for r in req), key=lambda a: a.size)
+            sel = req_ids[0]
+            for ids in req_ids[1:]:
+                if sel.size == 0:
+                    break
+                sel = np.intersect1d(sel, ids, assume_unique=True)
+        else:
+            present = [dec(t) for t in scored if t in row_of]
+            if not present:
+                continue
+            sel = np.unique(np.concatenate(present))
+        for f in neg:
+            if sel.size == 0:
+                break
+            if f in row_of:
+                sel = sel[~np.isin(sel, dec(f), assume_unique=True)]
+        if sel.size:
+            out_q.append(qid)
+            out_n.append(int(sel.size))
+    if not out_q:
+        return empty
+    return pd.DataFrame(
+        {
+            "query_id": np.array(out_q, dtype=np.int64),
+            "n_matches": np.array(out_n, dtype=np.int64),
+        }
+    )
+
+
+def count_matches(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    exclude_doc_ids: DataFrame | None = None,
+    include_doc_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Total-hits: the NUMBER of matching docs per query (the count a
+    search UI shows next to the top-k), under the full boolean grammar —
+    a plain bag-of-terms query counts docs containing ≥1 query term.
+    Output: (query_id, n_matches) with a zero row for every input query
+    (OOV-required and no-match queries included).
+
+    Counting needs NO document-frequency lookup (presence only), so this
+    path never runs the global-stats job; an everywhere-absent required
+    term yields 0 through the per-shard conjunction without a dead-query
+    check. Per-shard match sets reduce to one long each; the global count
+    is an exact sum because doc ids never span shards. Interactive
+    (broadcast-plane) surface; training-set-scale counting composes the
+    distributed boolean plane with its own aggregation."""
+    stats = load_stats(index_dir)
+    dps = stats["docs_per_shard"]
+    rows = queries_df.select("query_id", "query").collect()
+    parsed = {
+        int(r["query_id"]): parse_boolean_query(r["query"]) for r in rows
+    }
+    queries: dict[int, tuple[list[str], list[str], list[str]]] = {}
+    scan_terms: set[str] = set()
+    for qid, ts in parsed.items():
+        req = [t for t, role in ts if role == ROLE_REQUIRED]
+        scored = sorted(t for t, role in ts if role != ROLE_FORBIDDEN)
+        if not scored:
+            continue
+        neg = [t for t, role in ts if role == ROLE_FORBIDDEN]
+        queries[qid] = (scored, req, neg)
+        scan_terms.update(scored)
+        scan_terms.update(neg)
+
+    all_qids = spark.createDataFrame(
+        [(q,) for q in parsed], "query_id long"
+    )
+    zero = F.lit(0).cast("long")
+    if not queries:
+        return all_qids.select("query_id", zero.alias("n_matches"))
+
+    paths = IndexPaths(index_dir)
+    excl, excl_rel = _excl_plan(exclude_doc_ids, dps)
+    bc = spark.sparkContext.broadcast((queries, excl))
+    shard_rows = _term_pruned(
+        spark.read.parquet(paths.shards), sorted(scan_terms), spark
+    ).select("shard", "term", "postings")
+    schema = "query_id long, n_matches long"
+
+    if include_doc_ids is None and excl_rel is None:
+
+        def _count(pdf):
+            q, x = bc.value
+            return _count_shard_boolean(pdf, q, dps, x)
+
+        local = shard_rows.groupBy("shard").applyInPandas(
+            _count, schema=schema
+        )
+    else:
+        has_include = include_doc_ids is not None
+        has_excl_rel = excl_rel is not None
+        legs = []
+        if has_include:
+            incl_flat = include_doc_ids.select(
+                F.col("doc_id").cast("long").alias("doc_id")
+            ).withColumn("shard", (F.col("doc_id") / dps).cast("long"))
+            legs.append(incl_flat.select(
+                "shard", "doc_id", F.lit(False).alias("xm")
+            ))
+            shard_rows = shard_rows.join(
+                incl_flat.select("shard").distinct(), "shard", "left_semi"
+            )
+        if has_excl_rel:
+            legs.append(excl_rel.select(
+                "shard", "doc_id", F.lit(True).alias("xm")
+            ))
+        right_rel = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+
+        def _count_co(left, right):
+            q, x = bc.value
+            xm = right["xm"].to_numpy(dtype=bool)
+            ids_r = right["doc_id"].to_numpy(np.int64)
+            incl = np.unique(ids_r[~xm]) if has_include else None
+            if has_excl_rel:
+                xs = ids_r[xm]
+                x = np.sort(xs) if xs.size else None
+            return _count_shard_boolean(left, q, dps, x, incl)
+
+        local = (
+            shard_rows.groupby("shard")
+            .cogroup(right_rel.groupby("shard"))
+            .applyInPandas(_count_co, schema=schema)
+        )
+    counts = local.groupBy("query_id").agg(
+        F.sum("n_matches").cast("long").alias("n_matches")
+    )
+    out = (
+        all_qids.join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_matches"), zero).alias("n_matches"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bc.destroy()
+    return out
+
+
 def search_boolean(
     spark: SparkSession,
     index_dir: str,

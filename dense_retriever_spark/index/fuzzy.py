@@ -142,16 +142,16 @@ def _deletion_keys(name: str, max_edits: int):
     return F.expr(f"array_distinct({keys})")
 
 
-def _expand_fuzzy(
+def _fuzzy_candidates(
     spark: SparkSession,
     index_dir: str,
     stats: dict,
-    fz: DataFrame,
-) -> DataFrame:
-    """(query_id, stem, edits) → (query_id, term, stem) expansion relation
-    via the deletion-neighborhood join + levenshtein verify. Distinct
-    (stem, edits) pairs expand once, then join back to query ids."""
-    fz_d = fz.select("stem", "edits").distinct()
+    fz_d: DataFrame,
+) -> DataFrame | None:
+    """Distinct (stem, edits) → verified (stem, edits, term) neighbor
+    relation via the deletion-neighborhood join + levenshtein verify, or
+    None when there are no stems. Shared by search_fuzzy and
+    suggest_terms."""
     # length band of the stems (+/- max edits) prunes the dictionary scan;
     # bounded probe: two scalars + the max requested edit distance
     bounds = fz_d.agg(
@@ -160,9 +160,7 @@ def _expand_fuzzy(
         F.max("edits").alias("e"),
     ).collect()[0]
     if bounds["lo"] is None:
-        return fz.select(
-            "query_id", F.lit(None).cast("string").alias("term"), "stem"
-        ).limit(0)
+        return None
     lo = int(bounds["lo"]) - int(bounds["e"])
     hi = int(bounds["hi"]) + int(bounds["e"])
     e_max = int(bounds["e"])
@@ -185,11 +183,89 @@ def _expand_fuzzy(
         .select("stem", "edits", "term")
         .distinct()
     )
-    verified = cand.filter(
+    return cand.filter(
         F.levenshtein(F.col("stem"), F.col("term")) <= F.col("edits")
     )
+
+
+def _expand_fuzzy(
+    spark: SparkSession,
+    index_dir: str,
+    stats: dict,
+    fz: DataFrame,
+) -> DataFrame:
+    """(query_id, stem, edits) → (query_id, term, stem) expansion relation.
+    Distinct (stem, edits) pairs expand once, then join back to query
+    ids."""
+    verified = _fuzzy_candidates(
+        spark, index_dir, stats, fz.select("stem", "edits").distinct()
+    )
+    if verified is None:
+        return fz.select(
+            "query_id", F.lit(None).cast("string").alias("term"), "stem"
+        ).limit(0)
     return verified.join(fz, ["stem", "edits"]).select(
         "query_id", "term", "stem"
+    )
+
+
+def suggest_terms(
+    spark: SparkSession,
+    index_dir: str,
+    terms_df: DataFrame,
+    max_edits: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """Did-you-mean: for each input term, the top-k dictionary terms within
+    ``max_edits``, ranked like Lucene's DirectSpellChecker — closest edit
+    distance first, then highest document frequency, then lexicographic.
+    The input term itself appears at distance 0 when it is in-vocabulary
+    (callers wanting only corrections filter ``distance > 0``).
+
+    Input: a (term) relation. Output: (term, suggestion, distance, df,
+    rank). Same deletion-neighborhood join as search_fuzzy — one dictionary
+    scan, no cross join; the ranking window partitions by input term
+    (bounded by the neighbor count, never corpus-sized)."""
+    from pyspark.sql import Window
+
+    if not 0 < max_edits <= MAX_EDITS_LIMIT:
+        raise ValueError(
+            f"max_edits must be in 1..{MAX_EDITS_LIMIT}, got {max_edits}"
+        )
+    stats = load_stats(index_dir)
+    fz_d = (
+        terms_df.select(F.lower(F.col("term")).alias("stem"))
+        .filter(F.col("stem") != "")
+        .distinct()
+        .withColumn("edits", F.lit(int(max_edits)))
+    )
+    verified = _fuzzy_candidates(spark, index_dir, stats, fz_d)
+    if verified is None:
+        return spark.createDataFrame(
+            [], "term string, suggestion string, distance int, df long, rank int"
+        )
+    gstats = global_term_stats(spark, index_dir, stats).select("term", "df")
+    scored = (
+        verified.select(
+            F.col("stem").alias("term"),
+            F.col("term").alias("suggestion"),
+            F.levenshtein("stem", "term").cast("int").alias("distance"),
+        )
+        .join(
+            gstats.select(
+                F.col("term").alias("suggestion"),
+                F.col("df").cast("long").alias("df"),
+            ),
+            "suggestion",
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("distance").asc(), F.col("df").desc(), F.col("suggestion").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("term", "suggestion", "distance", "df", "rank")
     )
 
 

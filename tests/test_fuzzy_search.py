@@ -130,3 +130,110 @@ def test_split_fuzzy_query():
 def test_split_fuzzy_query_default_edits():
     _, fuzz = split_fuzzy_query("merg~", default_edits=2)
     assert fuzz == [("merg", 2)]
+
+
+def test_suggest_terms(spark, idx, vocab_terms):
+    from dense_retriever_spark.index.fuzzy import suggest_terms
+
+    terms = spark.createDataFrame(
+        [("merg",), ("merge",), ("zzqqzz",)], "term string"
+    )
+    got = suggest_terms(spark, idx, terms, max_edits=1, k=5).collect()
+    by_term = {}
+    for r in got:
+        by_term.setdefault(r["term"], []).append(
+            (r["rank"], r["suggestion"], r["distance"], r["df"])
+        )
+    # an in-vocabulary term suggests itself first at distance 0
+    merge_sugs = sorted(by_term["merge"])
+    assert merge_sugs[0][1] == "merge" and merge_sugs[0][2] == 0
+    # "merg" finds merge at distance 1
+    assert any(s == "merge" and d == 1 for _, s, d, _ in by_term["merg"])
+    assert "zzqqzz" not in by_term
+    # ranking mirror: distance asc, df desc, suggestion asc
+    want = sorted(
+        (
+            (_lev("merg", t), t)
+            for t in vocab_terms
+            if _lev("merg", t) <= 1
+        ),
+    )
+    # recompute expected order with df from the engine rows themselves
+    got_merg = sorted(by_term["merg"])
+    dists = [d for _, _, d, _ in got_merg]
+    assert dists == sorted(dists)
+    for (_, _, d1x, df1), (_, _, d2x, df2) in zip(got_merg, got_merg[1:]):
+        if d1x == d2x:
+            assert df1 >= df2
+    assert {s for _, s in want} >= {s for _, s, _, _ in got_merg}
+
+
+def test_count_matches(spark, idx, tiny_corpus, doc_tokens_fz):
+    from dense_retriever_spark.index.boolean import count_matches
+
+    qs = ["merge batch", "+merge +batch", "merge -batch",
+          "+zzqqnope merge", "zzqqnope"]
+    qdf = spark.createDataFrame(
+        list(enumerate(qs)), "query_id long, query string"
+    )
+    got = {
+        int(r["query_id"]): int(r["n_matches"])
+        for r in count_matches(spark, idx, qdf).collect()
+    }
+
+    def brute(q):
+        from dense_retriever_spark.index.boolean import parse_boolean_query
+
+        parsed = parse_boolean_query(q)
+        pos = [t for t, r in parsed if r != 2]
+        req = [t for t, r in parsed if r == 1]
+        neg = {t for t, r in parsed if r == 2}
+        n = 0
+        for toks in doc_tokens_fz.values():
+            ts = set(toks)
+            if req and not all(t in ts for t in req):
+                continue
+            if neg & ts:
+                continue
+            if any(t in ts for t in pos):
+                n += 1
+        return n
+
+    assert set(got) == set(range(len(qs)))  # zero rows present
+    for qid, q in enumerate(qs):
+        assert got[qid] == brute(q), (qid, q)
+    assert got[3] == 0 and got[4] == 0
+
+
+def test_count_matches_with_masks(spark, idx, tiny_corpus, doc_tokens_fz):
+    from pyspark.sql import functions as FF
+
+    from dense_retriever_spark.index.boolean import count_matches
+
+    qdf = spark.createDataFrame(
+        [(0, "merge batch")], "query_id long, query string"
+    )
+    kill = tiny_corpus.filter(FF.col("doc_id") % 3 == 0).select("doc_id")
+    allowed = tiny_corpus.filter(FF.col("doc_id") % 2 == 0).select("doc_id")
+    got = count_matches(
+        spark, idx, qdf, exclude_doc_ids=kill, include_doc_ids=allowed
+    ).collect()[0]["n_matches"]
+    want = sum(
+        1
+        for did, toks in doc_tokens_fz.items()
+        if did % 3 != 0 and did % 2 == 0
+        and ({"merge", "batch"} & set(toks))
+    )
+    assert got == want > 0
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def doc_tokens_fz(tiny_corpus):
+    from dense_retriever_spark.functions.tokenizer import tokenize_code_series
+
+    pdf = tiny_corpus.select("doc_id", "content").toPandas()
+    toks = tokenize_code_series(pdf["content"])
+    return dict(zip(pdf["doc_id"].astype(int), toks))

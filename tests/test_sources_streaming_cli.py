@@ -508,3 +508,39 @@ def test_cli_fuzzy_syntax(spark, tmp_path, capsys):
     res = spark.read.parquet(rdir)
     assert out["rows"] == res.count() > 0
     assert res.filter(F.col("query_id") == 1).count() == 0
+
+
+def test_cli_count_and_suggest(spark, tmp_path, capsys):
+    import json as _json
+
+    from dense_retriever_spark import cli
+    from dense_retriever_spark.corpus import ingest, synth_corpus
+    from dense_retriever_spark.index.build import build_index
+
+    corpus = ingest(synth_corpus(spark, 128, seed=13)).localCheckpoint(
+        eager=True
+    )
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, docs_per_shard=32, term_buckets=2)
+
+    qpath = str(tmp_path / "q.tsv")
+    with open(qpath, "w") as f:
+        f.write("0\t+merge batch\n1\tzzznotaterm\n")
+    cdir = str(tmp_path / "counts")
+    cli.main(["count-matches", "--index-dir", idx, "--queries", qpath,
+              "--out", cdir])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    res = {int(r["query_id"]): int(r["n_matches"])
+           for r in spark.read.parquet(cdir).collect()}
+    assert out["rows"] == 2 and res[0] > 0 and res[1] == 0
+
+    tpath = str(tmp_path / "terms.txt")
+    with open(tpath, "w") as f:
+        f.write("merg\nzzqqzz\n")
+    sdir = str(tmp_path / "sugs")
+    cli.main(["suggest-terms", "--index-dir", idx, "--terms", tpath,
+              "--max-edits", "1", "--top-n", "3", "--out", sdir])
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sugs = spark.read.parquet(sdir).collect()
+    assert out2["rows"] == len(sugs) > 0
+    assert any(r["suggestion"] == "merge" for r in sugs)
