@@ -129,6 +129,19 @@ def _term_df_cache_clear() -> None:
         _TERM_DF_CACHE.clear()
         _TERM_DF_SIZES.clear()
 
+#: per-(query, shard) adaptive scorer rule: block-max pruning is skipped
+#: for queries whose IN-SHARD term count exceeds this, falling back to the
+#: exact dense-accumulator scorer (identical scores — both scorers are
+#: exact and accumulate per doc in the same sorted-term order). Wide
+#: disjunctions — prefix/fuzzy expansions routinely carry hundreds of
+#: mostly-rare terms — have near-uniform block bounds, so the pruning
+#: set-algebra per term costs strictly more than it saves: MEASURED
+#: (microbench, 30-posting terms, dps 2048) blockmax/exact time ratio is
+#: 3.9-4.6× flat across 4→256 terms, 25.1 ms vs 4.7 ms per (query, shard)
+#: at 402 terms. Narrow queries keep block-max, the regime it was built
+#: for (few terms, large skewed postings).
+WIDE_QUERY_BLOCKMAX_LIMIT = 32
+
 #: the tombstone broadcast ceiling: below it a kill-list collects to a
 #: sorted driver array riding the score broadcast (latency fast path);
 #: past it the list automatically stays a Spark relation cogrouped with
@@ -253,8 +266,11 @@ def _score_shard(
         if not use_blockmax:
             continue  # exact scorer never reads blocks — skip the numpy work
         if masked:
-            # masked postings → stored blocks are misaligned; rebuild them
-            blocks[r.term] = block_meta(ids, tfs, dls)
+            # masked postings → stored blocks are misaligned; rebuild
+            # LAZILY below: only narrow (blockmax-eligible) queries read
+            # blocks, so terms touched solely by wide disjunctions never
+            # pay the per-term block_meta rebuild
+            blocks[r.term] = None
         else:
             blocks[r.term] = (
                 np.asarray(r.block_last_doc_id, dtype=np.int64),
@@ -268,8 +284,13 @@ def _score_shard(
         ]
         if not term_rows:
             continue
-        if use_blockmax:
-            block_rows = [blocks[t[0]] for t in term_rows]
+        if use_blockmax and len(term_rows) <= WIDE_QUERY_BLOCKMAX_LIMIT:
+            block_rows = []
+            for t in term_rows:
+                blk = blocks[t[0]]
+                if blk is None:  # masked: rebuild on first narrow-query use
+                    blk = blocks[t[0]] = block_meta(*decoded[t[0]])
+                block_rows.append(blk)
             scores, doc_ids = score_query_blockmax(
                 term_rows, block_rows, base, docs_per_shard, k, k1, b, avgdl
             )

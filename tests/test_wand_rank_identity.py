@@ -164,3 +164,46 @@ def test_filtered_search_include_docs(spark, idx, tiny_corpus, tiny_queries):
         include_doc_ids=allowed, exclude_doc_ids=kill,
     ).collect()
     assert {r["doc_id"] for r in both} <= (aset - kset)
+
+
+def test_wide_query_adaptive_scorer_identity(spark, idx, tiny_corpus):
+    """A disjunction wider than WIDE_QUERY_BLOCKMAX_LIMIT routes to the
+    exact scorer under use_blockmax=True (the adaptive rule) — results must
+    be IDENTICAL to use_blockmax=False, and to the brute-force oracle."""
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.index.search import WIDE_QUERY_BLOCKMAX_LIMIT
+
+    # all sym#### rare terms (400 of them) in one query — far past the limit
+    wide = " ".join(f"sym{i:04d}" for i in range(100)) + " merge batch"
+    assert len(wide.split()) > WIDE_QUERY_BLOCKMAX_LIMIT
+    qs = spark.createDataFrame([(0, wide)], "query_id long, query string")
+    a = sorted(map(tuple, search(spark, idx, qs, k=K, use_blockmax=True).collect()))
+    b = sorted(map(tuple, search(spark, idx, qs, k=K, use_blockmax=False).collect()))
+    assert a == b and len(a) > 0
+    want = bm25_exact_topk(tokenize_corpus(tiny_corpus), qs, k=K).collect()
+    _assert_rank_identical(
+        [r.asDict() for r in search(spark, idx, qs, k=K).collect()],
+        [r.asDict() for r in want],
+    )
+
+
+def test_wide_query_adaptive_under_masks(spark, idx, tiny_corpus):
+    """Mixed batch (one narrow blockmax query + one wide exact-routed query)
+    under a tombstone mask: the lazy masked block rebuild must serve the
+    narrow query while the wide one skips it, with both still exact."""
+    from pyspark.sql import functions as F
+
+    wide = " ".join(f"sym{i:04d}" for i in range(100))
+    qs = spark.createDataFrame(
+        [(0, wide), (1, "merge batch")], "query_id long, query string"
+    )
+    kill = tiny_corpus.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    a = sorted(map(tuple, search(
+        spark, idx, qs, k=K, use_blockmax=True, exclude_doc_ids=kill
+    ).collect()))
+    b = sorted(map(tuple, search(
+        spark, idx, qs, k=K, use_blockmax=False, exclude_doc_ids=kill
+    ).collect()))
+    assert a == b and len(a) > 0
+    assert all(d % 4 != 0 for _, d, _, _ in a)
