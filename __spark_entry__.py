@@ -28,9 +28,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from dense_retriever_spark.contract6 import QUERIES6
     from dense_retriever_spark.contract7 import QUERIES7
     from dense_retriever_spark.contract8 import QUERIES8
+    from dense_retriever_spark.contract9 import QUERIES9
 
     return {**QUERIES, **QUERIES2, **QUERIES3, **QUERIES4, **QUERIES5,
-            **QUERIES6, **QUERIES7, **QUERIES8}
+            **QUERIES6, **QUERIES7, **QUERIES8, **QUERIES9}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -42,6 +43,7 @@ def oracle_sql() -> dict[str, str]:
     from dense_retriever_spark.contract6 import ORACLES6
     from dense_retriever_spark.contract7 import ORACLES7
     from dense_retriever_spark.contract8 import ORACLES8
+    from dense_retriever_spark.contract9 import ORACLES9
 
     return {**ORACLES, **ORACLES2, **ORACLES3, **ORACLES4, **ORACLES5,
-            **ORACLES6, **ORACLES7, **ORACLES8}
+            **ORACLES6, **ORACLES7, **ORACLES8, **ORACLES9}

@@ -54,6 +54,7 @@ from dense_retriever_spark.index.wand import (
 from dense_retriever_spark.operators.topk import topk_per_group
 
 RESULT_SCHEMA = "query_id long, doc_id long, score double, rank int"
+MATCHES_SCHEMA = "query_id long, doc_id long, score double"
 
 #: query_mode='auto' switches broadcast → distributed above this many
 #: queries. Sized so the driver-side qmap/idf dict stays a few tens of MB
@@ -375,7 +376,7 @@ def _excl_plan(
 def _finish(
     spark: SparkSession,
     local: DataFrame,
-    k: int,
+    k: int | None,
     eager: bool,
     bcs: list,
     cached: list | None = None,
@@ -386,10 +387,23 @@ def _finish(
     immediately instead of waiting for caller GC, and unpersist any
     intermediate relations in ``cached``.
 
+    ``k=None`` (the ``score_matches`` plane): NO truncation and no rank
+    column — the full (query_id, doc_id, score) matched relation flows out
+    for relational composition (multi-field combination, rescoring). That
+    relation is |matches| rows, so the eager localCheckpoint is skipped in
+    favor of the lazy plan — the caller feeds it straight into an
+    aggregation, never materializes it.
+
     localCheckpoint blocks are NOT replicated: on a cluster with dynamic
     allocation / executor churn, consume the eager result promptly (the CLI
     writes it immediately) or use ``eager=False`` and own the write — the
     lazy plan recomputes through lineage and is churn-safe."""
+    if k is None:
+        return local.select(
+            F.col("query_id").cast("long"),
+            F.col("doc_id").cast("long"),
+            F.col("score").cast("double"),
+        )
     out = topk_per_group(local.drop("rank"), "query_id", "score", k)
     out = out.select(
         F.col("query_id").cast("long"),
@@ -480,6 +494,43 @@ def search(
     )
 
 
+def score_matches(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    exclude_doc_ids: DataFrame | None = None,
+    include_doc_ids: DataFrame | None = None,
+    query_mode: str = "broadcast",
+) -> DataFrame:
+    """FULL scored match relation: (query_id, doc_id, score) for EVERY doc
+    matching ≥1 query term — ``search`` without the top-k truncation. The
+    relational primitive under multi-field combination (index/fields.py)
+    and rescoring: per-field contributions must cover every doc matched in
+    ANY field, so a per-field top-k would lose mass exactly where fields
+    disagree.
+
+    The plan is the plain search plan with per-shard k = docs_per_shard (a
+    shard cannot contribute more rows, so nothing is pruned) and the exact
+    scorer (block-max prunes nothing when everything survives). The result
+    is |matches| rows — an intermediate relation meant to feed an
+    aggregation, never a ``.collect()``; it stays fully lazy (no eager
+    localCheckpoint), so compose it and let one job run end-to-end.
+    Tombstones / allowed-id filters compose exactly as in ``search``.
+    """
+    stats = load_stats(index_dir)
+    if query_mode == "broadcast":
+        return _search_broadcast(
+            spark, index_dir, stats, queries_df, None, False,
+            exclude_doc_ids, False, include_doc_ids,
+        )
+    if query_mode != "distributed":
+        raise ValueError(f"unknown query_mode {query_mode!r}")
+    return _search_distributed(
+        spark, index_dir, stats, queries_df, None, False,
+        exclude_doc_ids, False, include_doc_ids,
+    )
+
+
 def _term_dfs_cached(
     spark: SparkSession, index_dir: str, stats: dict, all_terms: list[str]
 ) -> dict[str, float]:
@@ -553,7 +604,7 @@ def _search_broadcast(
     index_dir: str,
     stats: dict,
     queries_df: DataFrame,
-    k: int,
+    k: int | None,
     use_blockmax: bool,
     exclude_doc_ids: DataFrame | None,
     eager: bool,
@@ -565,6 +616,15 @@ def _search_broadcast(
     paths = IndexPaths(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
+    if k is None:
+        # score_matches plane: every match survives. A shard holds at most
+        # docs_per_shard docs, so per-shard k = docs_per_shard IS "no
+        # truncation" (``_finish`` still sees k=None and skips the global
+        # top-k); block-max would prune nothing at that k, so take the
+        # exact scorer (cheaper — no block algebra).
+        k_shard, use_blockmax = stats["docs_per_shard"], False
+    else:
+        k_shard = k
 
     # 1. tokenize queries, collect the tiny (qid, term) relation to the
     # driver — unless the caller already holds the rewritten relation
@@ -578,8 +638,9 @@ def _search_broadcast(
     for qid in qmap:
         qmap[qid] = sorted(set(qmap[qid]))  # sorted-term order everywhere
     all_terms = sorted({t for ts in qmap.values() for t in ts})
+    empty_schema = RESULT_SCHEMA if k is not None else MATCHES_SCHEMA
     if not all_terms:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
 
     # 2. global term stats → idf (see _term_dfs_cached)
     vals = _term_dfs_cached(spark, index_dir, stats, all_terms)
@@ -588,7 +649,7 @@ def _search_broadcast(
     }
     present = [t for t in all_terms if t in idfs]
     if not present:
-        return spark.createDataFrame([], RESULT_SCHEMA)
+        return spark.createDataFrame([], empty_schema)
     qmap = {q: [t for t in ts if t in idfs] for q, ts in qmap.items()}
     qmap = {q: ts for q, ts in qmap.items() if ts}
 
@@ -610,7 +671,9 @@ def _search_broadcast(
 
         def _score(pdf):
             q, i, x = bc.value
-            return _score_shard(pdf, q, i, k, k1, b, avgdl, dps, use_blockmax, x)
+            return _score_shard(
+                pdf, q, i, k_shard, k1, b, avgdl, dps, use_blockmax, x
+            )
 
         local = shard_rows.groupBy("shard").applyInPandas(
             _score, schema=RESULT_SCHEMA,
@@ -650,7 +713,7 @@ def _search_broadcast(
                 xs = ids_r[xm]
                 x = np.sort(xs) if xs.size else None
             return _score_shard(
-                left, q, i, k, k1, b, avgdl, dps, use_blockmax, x, incl
+                left, q, i, k_shard, k1, b, avgdl, dps, use_blockmax, x, incl
             )
 
         local = (
@@ -666,7 +729,7 @@ def _search_distributed(
     index_dir: str,
     stats: dict,
     queries_df: DataFrame,
-    k: int,
+    k: int | None,
     use_blockmax: bool,
     exclude_doc_ids: DataFrame | None,
     eager: bool,
@@ -694,6 +757,10 @@ def _search_distributed(
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
     dps = stats["docs_per_shard"]
+    if k is None:  # score_matches plane — see _search_broadcast
+        k_shard, use_blockmax = dps, False
+    else:
+        k_shard = k
     from dense_retriever_spark.operators.bm25 import query_terms
 
     # (query_id, term) DISTINCT — never collected. PERSISTED (not
@@ -805,7 +872,8 @@ def _search_distributed(
             sel_i = right["term"].isna() & ~right["xm"]
             incl = np.unique(right.loc[sel_i, "doc_id"].to_numpy(np.int64))
         return _score_shard(
-            left, qmap, idfs, k, k1, b, avgdl, dps, use_blockmax, x, incl
+            left, qmap, idfs, k_shard, k1, b, avgdl, dps, use_blockmax,
+            x, incl,
         )
 
     local = (
