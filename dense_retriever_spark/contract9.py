@@ -163,17 +163,205 @@ FROM rk WHERE rank <= {_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# q70 — graded ranking metrics (nDCG@k + recall@k, operators/rank_metrics.py)
+# over a deterministic ranked-list + graded-qrels derivation: the per-lang
+# ranked list is the q04 construction (top-10 docs by n_chars DESC, doc_id
+# ASC), judgments are docs with doc_id % 5 == 0 graded rel = 1 + doc_id % 3.
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+
+
+def q70_ndcg_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.operators.rank_metrics import ndcg_recall
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    res = (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NDCG_K)
+        .select("lang", "doc_id", "rank")
+    )
+    qrels = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "lang", "doc_id", (F.lit(1) + F.col("doc_id") % 3).alias("rel")
+    )
+    out = ndcg_recall(res, qrels, k=_NDCG_K, query_col="lang")
+    return out.select(
+        F.col("lang").cast("string"),
+        F.round("ndcg", 6).alias("ndcg"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
+def _ndcg_sql() -> str:
+    return f"""
+WITH res AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+),
+topk AS (SELECT lang, doc_id, rank FROM res WHERE rank <= {_NDCG_K}),
+judged AS (
+  SELECT lang, doc_id, (1 + doc_id % 3)::DOUBLE AS rel
+  FROM documents WHERE doc_id % 5 = 0
+),
+hit AS (
+  SELECT t.lang, t.rank, j.rel
+  FROM topk t JOIN judged j ON t.lang = j.lang AND t.doc_id = j.doc_id
+),
+dcg AS (
+  SELECT lang, sum((pow(2.0, rel) - 1) / log2(rank + 1.0)) AS dcg,
+         count(*)::DOUBLE AS hits
+  FROM hit GROUP BY lang
+),
+ideal AS (
+  SELECT lang, sum((pow(2.0, rel) - 1) / log2(irank + 1.0)) AS idcg
+  FROM (
+    SELECT lang, rel,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM judged
+  ) WHERE irank <= {_NDCG_K}
+  GROUP BY lang
+),
+nrel AS (SELECT lang, count(*)::DOUBLE AS n_rel FROM judged GROUP BY lang)
+SELECT n.lang::VARCHAR AS lang,
+       round(coalesce(d.dcg, 0) / i.idcg, 6)::DOUBLE AS ndcg,
+       round(coalesce(d.hits, 0) / n.n_rel, 6)::DOUBLE AS recall
+FROM nrel n
+JOIN ideal i USING (lang)
+LEFT JOIN dcg d USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q71/q72 — more-like-this (index/mlt.py) on both query planes: seed docs
+# 0/1/2 as their own queries, top-5 interesting terms by round(tf·idf, 6)
+# with (tscore DESC, term ASC) ties, q01 BM25 over the selected terms, the
+# seed anti-joined out, round-before-rank top 10. The oracle re-derives the
+# whole chain relationally from the raw text.
+# ---------------------------------------------------------------------------
+
+_MLT_SEEDS: list[tuple[int, int]] = [(0, 0), (1, 1), (2, 2)]
+_MLT_TERMS = 5
+
+
+def _q71(spark: SparkSession, sf_dir: str, query_mode: str) -> DataFrame:
+    from dense_retriever_spark.contract4 import _q38_index_dir
+    from dense_retriever_spark.contract5 import _rounded_topk
+    from dense_retriever_spark.index.mlt import more_like_this
+
+    idx = _q38_index_dir(spark, sf_dir)
+    seeds = spark.createDataFrame(
+        _MLT_SEEDS, "query_id long, doc_id long"
+    )
+    raw = more_like_this(
+        spark, idx, seeds, k=_OVERFETCH, max_terms=_MLT_TERMS,
+        query_mode=query_mode,
+    )
+    return _rounded_topk(raw, _K)
+
+
+def q71_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q71(spark, sf_dir, "broadcast")
+
+
+def q72_more_like_this_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _q71(spark, sf_dir, "distributed")
+
+
+def _mlt_sql() -> str:
+    seed_vals = ", ".join(f"({q}, {d})" for q, d in _MLT_SEEDS)
+    return f"""
+WITH seeds(query_id, doc_id) AS (VALUES {seed_vals}),
+tok AS (
+  SELECT doc_id, {_TOK_SQL.format(c='text')} AS terms FROM documents
+),
+dd  AS (SELECT doc_id, terms, len(terms) AS dl FROM tok WHERE len(terms) > 0),
+st  AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd),
+tf  AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, min(dl)::DOUBLE AS dl
+  FROM (SELECT doc_id, unnest(terms) AS term, dl FROM dd)
+  GROUP BY doc_id, term
+),
+dfr_all AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+seedtf AS (
+  SELECT s.query_id, u.term, count(*)::DOUBLE AS stf
+  FROM seeds s
+  JOIN (SELECT doc_id, unnest(terms) AS term FROM dd) u USING (doc_id)
+  GROUP BY s.query_id, u.term
+),
+tsc AS (
+  SELECT query_id, term,
+         round(stf * ln(1 + (st.n - d.df + 0.5)/(d.df + 0.5)), 6) AS tscore
+  FROM seedtf JOIN dfr_all d USING (term) CROSS JOIN st
+),
+qt AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY tscore DESC, term ASC) AS rn
+    FROM tsc
+  ) WHERE rn <= {_MLT_TERMS}
+),
+dfr AS (
+  SELECT term, df FROM dfr_all WHERE term IN (SELECT term FROM qt)
+),
+con AS (
+  SELECT qt.query_id, tf.doc_id,
+         ((ln(1 + (st.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf) * {BM25_K1 + 1.0})
+         / (tf.tf + {BM25_K1}*({1.0 - BM25_B} + ({BM25_B}*tf.dl)/st.avgdl)) AS c
+  FROM tf JOIN qt USING (term) JOIN dfr USING (term) CROSS JOIN st
+),
+sc AS (
+  SELECT query_id, doc_id, round(sum(c), 4) AS score
+  FROM con GROUP BY query_id, doc_id
+),
+ok AS (
+  SELECT sc.* FROM sc
+  WHERE NOT EXISTS (SELECT 1 FROM seeds s
+                    WHERE s.query_id = sc.query_id
+                      AND s.doc_id = sc.doc_id)
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ok
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       score::DOUBLE AS score, rank::INT AS rank
+FROM rk WHERE rank <= {_K}
+"""
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_multifield_search": q68_multifield_search,
     "q69_multifield_search_distributed": q69_multifield_search_distributed,
+    "q70_ndcg_recall": q70_ndcg_recall,
+    "q71_more_like_this": q71_more_like_this,
+    "q72_more_like_this_distributed": q72_more_like_this_distributed,
 }
 
 
 def _oracles9() -> dict[str, str]:
     msql = _multifield_sql()
+    mlt = _mlt_sql()
     return {
         "q68_multifield_search": msql,
         "q69_multifield_search_distributed": msql,
+        "q70_ndcg_recall": _ndcg_sql(),
+        "q71_more_like_this": mlt,
+        "q72_more_like_this_distributed": mlt,
     }
 
 

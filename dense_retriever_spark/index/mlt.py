@@ -1,0 +1,161 @@
+"""More-like-this: retrieve documents similar to seed documents.
+
+Reference analog: none — the reference retrieves only by encoded free-text
+query (/root/reference/dense_retriever/cli/ann_index.py:27-48). This is the
+classic Lucene MoreLikeThisQuery surface re-expressed relationally: the seed
+doc's text becomes a bounded disjunctive BM25 query made of its most
+characteristic terms.
+
+Term selection (Lucene MLT's interesting-term rule): score every term of
+the seed doc by tf_in_doc · idf(df) — tf from the seed's own token stream,
+df from the index's global stats, idf the engine's BM25 idf — keep the top
+``max_terms`` by (score DESC, term ASC). The term score is rounded to 6dp
+before ranking so engine and oracle (whose libm ``ln`` may differ in the
+last ulp) select identical term sets. The selected (query_id, term)
+relation then drives the ordinary search planes (the same qt-injection
+hook prefix/fuzzy expansion uses), and each query's own seed docs are
+anti-joined out of its results.
+
+Scale: seed texts are fetched from the index's own docs table by a
+doc_id join (partition-pruned by shard); tf/df/term-ranking are joins and
+windowed aggregations on the (seed, term) relation — |seeds| · |doc terms|
+rows, never the corpus. With ``query_mode='distributed'`` nothing
+query-sized touches the driver; the broadcast plane collects only the
+≤ |seeds| · max_terms selected pairs (same contract as its query
+tokenization collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dense_retriever_spark.index.build import IndexPaths
+from dense_retriever_spark.index.search import (
+    _search_broadcast,
+    _search_distributed,
+    global_term_stats,
+    load_stats,
+)
+from dense_retriever_spark.operators.topk import topk_per_group
+
+
+def interesting_terms(
+    spark: SparkSession,
+    index_dir: str,
+    seeds: DataFrame,
+    max_terms: int = 10,
+    content_df: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, term, tscore) — each seed query's top ``max_terms`` terms
+    by tf·idf, the MLT term-selection relation (exposed for explain/debug
+    UIs and for the oracle twin).
+
+    ``seeds``: (query_id, doc_id); multiple seed docs per query are allowed
+    (tf sums over them). ``content_df``: optional (doc_id, content) source
+    for metadata-only indexes whose docs table carries no content.
+    """
+    from dense_retriever_spark.functions.tokenizer import tokenize_code_pandas
+
+    stats = load_stats(index_dir)
+    paths = IndexPaths(index_dir)
+    n_docs = float(stats["n_docs"])
+
+    if content_df is None:
+        content_df = spark.read.parquet(paths.docs).select(
+            "doc_id", "content"
+        )
+    seed_text = seeds.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    ).join(content_df, "doc_id")
+
+    # seed term frequencies with the INDEX's tokenizer (the terms must be
+    # the index's vocabulary or df lookups would miss)
+    toks = seed_text.select(
+        "query_id", F.explode(tokenize_code_pandas(F.col("content"))).alias("term")
+    )
+    stf = toks.groupBy("query_id", "term").agg(
+        F.count("*").cast("double").alias("stf")
+    )
+
+    dfs = global_term_stats(spark, index_dir, stats).select(
+        "term", F.col("df").cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    scored = stf.join(dfs, "term").select(
+        "query_id", "term", F.round(F.col("stf") * idf, 6).alias("tscore")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("tscore"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_terms)
+        .drop("rn")
+    )
+
+
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    seeds: DataFrame,
+    k: int = 10,
+    max_terms: int = 10,
+    query_mode: str = "broadcast",
+    exclude_doc_ids: DataFrame | None = None,
+    include_doc_ids: DataFrame | None = None,
+    content_df: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k docs most similar to each query's seed docs. Output:
+    (query_id, doc_id, score, rank) — the ``search`` contract; each query's
+    own seed docs never appear in its results (anti-joined, with the
+    over-fetch sized so their removal cannot cost recall).
+
+    ``exclude_doc_ids`` / ``include_doc_ids`` compose as in ``search``
+    (masking happens inside the scorer, before top-k).
+    """
+    qt = interesting_terms(
+        spark, index_dir, seeds, max_terms, content_df
+    ).select("query_id", "term")
+    stats = load_stats(index_dir)
+
+    # worst case every one of a query's seeds lands in its top list; the
+    # max seed count per query bounds the over-fetch (one tiny agg job on
+    # the caller-held seeds relation — scalar to the driver)
+    max_seeds = (
+        seeds.groupBy("query_id").count().agg(F.max("count")).first()[0]
+    )
+    k_fetch = k + int(max_seeds or 0)
+
+    if query_mode == "broadcast":
+        pairs = [(int(r["query_id"]), r["term"]) for r in qt.collect()]
+        raw = _search_broadcast(
+            spark, index_dir, stats, None, k_fetch, True,
+            exclude_doc_ids, False, include_doc_ids, qt_pairs=pairs,
+        )
+    elif query_mode == "distributed":
+        raw = _search_distributed(
+            spark, index_dir, stats, None, k_fetch, True,
+            exclude_doc_ids, False, include_doc_ids, qt_override=qt,
+        )
+    else:
+        raise ValueError(f"unknown query_mode {query_mode!r}")
+
+    res = raw.join(
+        seeds.select("query_id", "doc_id"), ["query_id", "doc_id"],
+        "left_anti",
+    )
+    out = topk_per_group(res.drop("rank"), "query_id", "score", k)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("score").cast("double"),
+        F.col("rank").cast("int"),
+    )
+
+
+__all__ = ["more_like_this", "interesting_terms"]

@@ -9,7 +9,7 @@ Implemented as native column expressions (array_position + when) — no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -68,3 +68,84 @@ def mrr(rr: DataFrame) -> DataFrame:
     """Global mean of reciprocal ranks — MRR@k
     (/root/reference/dense_retriever/transforms/ann_index.py:154)."""
     return rr.agg(F.avg("reciprocal_rank").alias("mrr"))
+
+
+def ndcg_recall(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+) -> DataFrame:
+    """Graded ranking metrics per query: nDCG@k and recall@k.
+
+    Beyond-reference surface (the reference evaluates MRR only,
+    /root/reference/dense_retriever/transforms/ann_index.py:122-156); nDCG
+    and recall are the standard companions for multi-positive / graded
+    judgments.
+
+    ``results``: (query_col, doc_id, rank) — 1-based ranks, one ranked list
+    per query (a ``search``/``search_fields`` output works as-is).
+    ``qrels``: (query_col, doc_id, rel) with rel > 0 for every judged-
+    relevant doc (graded; binary judgments just use rel=1).
+
+    Definitions (standard exponential-gain form):
+      DCG@k    = Σ_{i≤k} (2^rel_i − 1) / log2(i + 1) over the RANKED list
+      IDCG@k   = the same sum over the query's judgments sorted by
+                 (rel DESC, doc_id ASC), cut at k
+      nDCG@k   = DCG/IDCG (0.0 when the query has no judged docs)
+      recall@k = |relevant ∩ top-k| / |relevant|
+
+    Every step is a join or aggregation on the query key — no UDF, no
+    driver state; queries with zero retrieved-but-judged docs still appear
+    (metrics 0.0) because the qrels side drives the output, so a broken
+    search cannot silently drop its worst queries from the average.
+    """
+    gain = lambda rel: F.pow(F.lit(2.0), rel.cast("double")) - F.lit(1.0)  # noqa: E731
+
+    topk = results.filter(F.col("rank") <= k).select(
+        query_col, "doc_id", "rank"
+    )
+    judged = qrels.select(
+        query_col, "doc_id", F.col("rel").cast("double").alias("rel")
+    ).filter(F.col("rel") > 0)
+
+    hit = topk.join(judged, [query_col, "doc_id"])
+    dcg = hit.groupBy(query_col).agg(
+        F.sum(
+            gain(F.col("rel"))
+            / F.log2(F.col("rank").cast("double") + F.lit(1.0))
+        ).alias("dcg"),
+        F.count("*").cast("double").alias("hits"),
+    )
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    ideal = (
+        judged.withColumn("irank", F.row_number().over(w))
+        .filter(F.col("irank") <= k)
+        .groupBy(query_col)
+        .agg(
+            F.sum(
+                gain(F.col("rel"))
+                / F.log2(F.col("irank").cast("double") + F.lit(1.0))
+            ).alias("idcg")
+        )
+    )
+    nrel = judged.groupBy(query_col).agg(
+        F.count("*").cast("double").alias("n_rel")
+    )
+
+    return (
+        nrel.join(ideal, query_col)
+        .join(dcg, query_col, "left")
+        .select(
+            query_col,
+            (F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")).alias(
+                "ndcg"
+            ),
+            (F.coalesce(F.col("hits"), F.lit(0.0)) / F.col("n_rel")).alias(
+                "recall"
+            ),
+        )
+    )

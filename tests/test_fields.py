@@ -218,3 +218,51 @@ def test_derive_field_splits_tokens(spark):
     short = spark.createDataFrame([(0, "one two")], "doc_id long, text string")
     b2 = derive_field(short, "text", 2, head=False).select("text").first()[0]
     assert b2 == ""
+
+
+# --- graded ranking metrics (operators/rank_metrics.ndcg_recall) -----------
+
+
+def test_ndcg_recall_hand_computed(spark):
+    """3-doc ranked list, graded qrels, k=3 — checked against a by-hand
+    nDCG/recall computation."""
+    import math
+
+    from dense_retriever_spark.operators.rank_metrics import ndcg_recall
+
+    # query 0: retrieved [10, 11, 12]; rels: 10->3, 12->1, 13->2 (13 missed)
+    res = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 10, 3), (0, 12, 1), (0, 13, 2), (1, 99, 1)],
+        "query_id long, doc_id long, rel int",
+    )
+    got = {
+        r["query_id"]: (r["ndcg"], r["recall"])
+        for r in ndcg_recall(res, qrels, k=3).collect()
+    }
+    dcg = (2**3 - 1) / math.log2(2) + (2**1 - 1) / math.log2(4)
+    idcg = (
+        (2**3 - 1) / math.log2(2)
+        + (2**2 - 1) / math.log2(3)
+        + (2**1 - 1) / math.log2(4)
+    )
+    assert abs(got[0][0] - dcg / idcg) < 1e-12
+    assert abs(got[0][1] - 2 / 3) < 1e-12
+    # query 1 retrieved nothing relevant: metrics 0.0, query still present
+    assert got[1] == (0.0, 0.0)
+
+
+def test_ndcg_recall_perfect_ranking_is_one(spark):
+    from dense_retriever_spark.operators.rank_metrics import ndcg_recall
+
+    res = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "query_id long, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 1)], "query_id long, doc_id long, rel int"
+    )
+    r = ndcg_recall(res, qrels, k=2).collect()[0]
+    assert abs(r["ndcg"] - 1.0) < 1e-12 and r["recall"] == 1.0
