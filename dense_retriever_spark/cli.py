@@ -138,6 +138,13 @@ def cmd_search(args) -> None:
             spark, args.index_dir, queries,
             max_edits=args.max_edits, **common,
         )
+    elif args.synonyms:
+        from dense_retriever_spark.index.synonyms import search_synonyms
+
+        syn = spark.read.parquet(args.synonyms).select("term", "variant")
+        res = search_synonyms(
+            spark, args.index_dir, queries, syn, **common
+        )
     else:
         res = search(spark, args.index_dir, queries, **common)
     res.write.mode("overwrite").parquet(args.out)
@@ -145,6 +152,77 @@ def cmd_search(args) -> None:
     # the whole search a second time
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"results": args.out, "rows": n}))
+
+
+def cmd_search_fields(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.index.fields import search_fields
+    from dense_retriever_spark.sources.readers import read_queries_tsv
+
+    fields = []
+    for spec in args.field:
+        # name=dir:weight (weight optional, default 1.0)
+        name, rest = spec.split("=", 1)
+        if ":" in rest.rsplit("/", 1)[-1]:
+            d, w = rest.rsplit(":", 1)
+            fields.append((name, d, float(w)))
+        else:
+            fields.append((name, rest, 1.0))
+    queries = read_queries_tsv(spark, args.queries).selectExpr(
+        "qid as query_id", "text as query"
+    )
+    res = search_fields(
+        spark, fields, queries, k=args.top_n, combine=args.combine,
+        query_mode=args.query_mode,
+    )
+    res.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({
+        "results": args.out, "rows": n,
+        "fields": [{"name": f[0], "weight": f[2]} for f in fields],
+    }))
+
+
+def cmd_mlt(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.index.mlt import more_like_this
+
+    seeds = spark.read.parquet(args.seeds).select(
+        F.col("query_id").cast("long"), F.col("doc_id").cast("long")
+    )
+    res = more_like_this(
+        spark, args.index_dir, seeds, k=args.top_n,
+        max_terms=args.max_terms, query_mode=args.query_mode,
+    )
+    res.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"results": args.out, "rows": n}))
+
+
+def cmd_rank_metrics(args) -> None:
+    spark = _spark(args)
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.operators.rank_metrics import ndcg_recall
+
+    results = spark.read.parquet(args.results)
+    qrels = spark.read.parquet(args.qrels).select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("rel").cast("double"),
+    )
+    per_q = ndcg_recall(results, qrels, k=args.k)
+    per_q.write.mode("overwrite").option("header", "true").csv(args.out)
+    means = per_q.agg(
+        F.avg("ndcg").alias("ndcg"), F.avg("recall").alias("recall")
+    ).collect()[0]
+    print(json.dumps({
+        f"ndcg@{args.k}": means["ndcg"], f"recall@{args.k}": means["recall"],
+    }))
 
 
 def cmd_count_matches(args) -> None:
@@ -622,8 +700,47 @@ def main(argv=None) -> None:
     s.add_argument("--max-edits", type=int, default=1,
                    help="fuzzy syntax: default edit distance for bare ~ "
                         "segments (~1 / ~2 pin it per segment; max 2)")
+    s.add_argument("--synonyms", default=None,
+                   help="parquet (term, variant): plain-syntax queries "
+                        "expand through this relation before scoring "
+                        "(index/synonyms.py)")
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_search)
+
+    sf = sub.add_parser("search-fields")
+    sf.add_argument("--field", action="append", required=True,
+                    help="name=index_dir:weight (repeat per field; weight "
+                         "defaults to 1.0) — weighted multi-field BM25 "
+                         "(index/fields.py)")
+    sf.add_argument("--queries", required=True, help="TSV qid\\ttext")
+    sf.add_argument("--top-n", type=int, default=50)
+    sf.add_argument("--combine", default="sum", choices=["sum", "max"],
+                    help="sum = BM25F-style weighted sum; max = dismax")
+    sf.add_argument("--query-mode", default="auto",
+                    choices=["auto", "broadcast", "distributed"])
+    sf.add_argument("--out", required=True)
+    sf.set_defaults(fn=cmd_search_fields)
+
+    ml = sub.add_parser("mlt")
+    ml.add_argument("--index-dir", required=True)
+    ml.add_argument("--seeds", required=True,
+                    help="parquet (query_id, doc_id): seed docs per query")
+    ml.add_argument("--top-n", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=10,
+                    help="interesting terms kept per query (tf-idf rank)")
+    ml.add_argument("--query-mode", default="auto",
+                    choices=["auto", "broadcast", "distributed"])
+    ml.add_argument("--out", required=True)
+    ml.set_defaults(fn=cmd_mlt)
+
+    rm = sub.add_parser("rank-metrics")
+    rm.add_argument("--results", required=True,
+                    help="parquet (query_id, doc_id, rank) — a search output")
+    rm.add_argument("--qrels", required=True,
+                    help="parquet (query_id, doc_id, rel) graded judgments")
+    rm.add_argument("--k", type=int, default=10)
+    rm.add_argument("--out", required=True)
+    rm.set_defaults(fn=cmd_rank_metrics)
 
     cm = sub.add_parser("count-matches")
     cm.add_argument("--index-dir", required=True)

@@ -344,12 +344,96 @@ FROM rk WHERE rank <= {_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# q73 — synonym-expansion search (index/synonyms.py): query terms expand
+# through a (term, variant) relation, variants score as ordinary terms with
+# their own df; the oracle re-derives the expansion with a SQL join. The
+# distributed plane is pytest-gated (plane-identity test) like the other
+# expansion modes.
+# ---------------------------------------------------------------------------
+
+_SYNONYMS: list[tuple[str, str]] = [
+    ("plan", "scan"),        # widen q0
+    ("scan", "plan"),        # symmetric direction exercised via q3
+    ("customer", "value"),   # cross-topic variant
+    ("merge", "join"),
+    ("zzqqnope", "table"),   # synonym of a term no query uses: inert
+]
+
+
+def q73_synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract4 import _q38_index_dir
+    from dense_retriever_spark.contract5 import _rounded_topk
+    from dense_retriever_spark.index.synonyms import search_synonyms
+
+    idx = _q38_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id long, query string"
+    )
+    syn = spark.createDataFrame(_SYNONYMS, "term string, variant string")
+    raw = search_synonyms(spark, idx, queries, syn, k=_OVERFETCH)
+    return _rounded_topk(raw, _K)
+
+
+def _synonym_sql() -> str:
+    syn_vals = ", ".join(f"('{t}', '{v}')" for t, v in _SYNONYMS)
+    return f"""
+WITH q(query_id, query) AS (VALUES {_QUERY_VALUES_SQL}),
+syn(term, variant) AS (VALUES {syn_vals}),
+tok AS (
+  SELECT doc_id, {_TOK_SQL.format(c='text')} AS terms FROM documents
+),
+dd  AS (SELECT doc_id, terms, len(terms) AS dl FROM tok WHERE len(terms) > 0),
+st  AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd),
+tf  AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, min(dl)::DOUBLE AS dl
+  FROM (SELECT doc_id, unnest(terms) AS term, dl FROM dd)
+  GROUP BY doc_id, term
+),
+qt0 AS (
+  SELECT DISTINCT query_id, unnest({_TOK_SQL.format(c='query')}) AS term
+  FROM q
+),
+qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, term FROM qt0
+    UNION ALL
+    SELECT q0.query_id, s.variant FROM qt0 q0 JOIN syn s USING (term)
+  )
+),
+dfr AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+con AS (
+  SELECT qt.query_id, tf.doc_id,
+         ((ln(1 + (st.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf) * {BM25_K1 + 1.0})
+         / (tf.tf + {BM25_K1}*({1.0 - BM25_B} + ({BM25_B}*tf.dl)/st.avgdl)) AS c
+  FROM tf JOIN qt USING (term) JOIN dfr USING (term) CROSS JOIN st
+),
+sc AS (
+  SELECT query_id, doc_id, round(sum(c), 4) AS score
+  FROM con GROUP BY query_id, doc_id
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       score::DOUBLE AS score, rank::INT AS rank
+FROM rk WHERE rank <= {_K}
+"""
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_multifield_search": q68_multifield_search,
     "q69_multifield_search_distributed": q69_multifield_search_distributed,
     "q70_ndcg_recall": q70_ndcg_recall,
     "q71_more_like_this": q71_more_like_this,
     "q72_more_like_this_distributed": q72_more_like_this_distributed,
+    "q73_synonym_search": q73_synonym_search,
 }
 
 
@@ -362,6 +446,7 @@ def _oracles9() -> dict[str, str]:
         "q70_ndcg_recall": _ndcg_sql(),
         "q71_more_like_this": mlt,
         "q72_more_like_this_distributed": mlt,
+        "q73_synonym_search": _synonym_sql(),
     }
 
 

@@ -82,6 +82,13 @@ def search_fields(
         raise ValueError(f"duplicate field names in {names}")
     if not fields:
         raise ValueError("fields must be non-empty")
+    if query_mode == "auto":  # probe ONCE, not once per field leg
+        from dense_retriever_spark.index.search import QUERY_BROADCAST_LIMIT
+
+        n_q = queries_df.limit(QUERY_BROADCAST_LIMIT + 1).count()
+        query_mode = (
+            "broadcast" if n_q <= QUERY_BROADCAST_LIMIT else "distributed"
+        )
 
     legs = []
     for name, index_dir, _w in fields:

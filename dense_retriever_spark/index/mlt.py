@@ -122,6 +122,13 @@ def more_like_this(
         spark, index_dir, seeds, max_terms, content_df
     ).select("query_id", "term")
     stats = load_stats(index_dir)
+    if query_mode == "auto":  # same probe rule as search(), on the seeds
+        from dense_retriever_spark.index.search import QUERY_BROADCAST_LIMIT
+
+        n_q = seeds.limit(QUERY_BROADCAST_LIMIT + 1).count()
+        query_mode = (
+            "broadcast" if n_q <= QUERY_BROADCAST_LIMIT else "distributed"
+        )
 
     # worst case every one of a query's seeds lands in its top list; the
     # max seed count per query bounds the over-fetch (one tiny agg job on

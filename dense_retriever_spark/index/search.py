@@ -518,6 +518,11 @@ def score_matches(
     Tombstones / allowed-id filters compose exactly as in ``search``.
     """
     stats = load_stats(index_dir)
+    if query_mode == "auto":  # same probe rule as search()
+        n_q = queries_df.limit(QUERY_BROADCAST_LIMIT + 1).count()
+        query_mode = (
+            "broadcast" if n_q <= QUERY_BROADCAST_LIMIT else "distributed"
+        )
     if query_mode == "broadcast":
         return _search_broadcast(
             spark, index_dir, stats, queries_df, None, False,

@@ -544,3 +544,84 @@ def test_cli_count_and_suggest(spark, tmp_path, capsys):
     sugs = spark.read.parquet(sdir).collect()
     assert out2["rows"] == len(sugs) > 0
     assert any(r["suggestion"] == "merge" for r in sugs)
+
+
+def test_cli_fields_mlt_metrics_synonyms(spark, tmp_path):
+    """Round-7 session-4 verbs: search-fields, mlt, rank-metrics, and the
+    search --synonyms flag — each end-to-end through cli.main."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark import cli
+    from dense_retriever_spark.corpus import synth_corpus
+    from dense_retriever_spark.index.fields import derive_field
+
+    corpus = synth_corpus(spark, 200)
+    tdir, bdir = str(tmp_path / "tc"), str(tmp_path / "bc")
+    derive_field(corpus, "content", 10, head=True, out_col="content2").drop(
+        "content"
+    ).withColumnRenamed("content2", "content").write.parquet(tdir)
+    derive_field(corpus, "content", 10, head=False, out_col="content2").drop(
+        "content"
+    ).withColumnRenamed("content2", "content").write.parquet(bdir)
+    ti, bi = str(tmp_path / "ti"), str(tmp_path / "bi")
+    for src, dst in ((tdir, ti), (bdir, bi)):
+        cli.main(["build-index", "--corpus", src, "--index-dir", dst,
+                  "--docs-per-shard", "64", "--term-buckets", "2"])
+
+    qpath = str(tmp_path / "q.tsv")
+    with open(qpath, "w") as f:
+        f.write("1\tdef import\n")
+    fdir = str(tmp_path / "fres")
+    cli.main(["search-fields", "--field", f"title={ti}:2.0",
+              "--field", f"body={bi}", "--queries", qpath,
+              "--top-n", "5", "--out", fdir])
+    fres = spark.read.parquet(fdir)
+    assert fres.count() > 0
+    assert set(fres.columns) == {"query_id", "doc_id", "score", "rank"}
+
+    # mlt over the title index, seeded by the top field hit
+    seed_doc = fres.filter("rank = 1").collect()[0]["doc_id"]
+    sdir = str(tmp_path / "seeds")
+    spark.createDataFrame(
+        [(0, int(seed_doc))], "query_id long, doc_id long"
+    ).write.parquet(sdir)
+    mdir = str(tmp_path / "mres")
+    cli.main(["mlt", "--index-dir", ti, "--seeds", sdir,
+              "--top-n", "5", "--max-terms", "5", "--out", mdir])
+    mres = spark.read.parquet(mdir)
+    assert mres.count() > 0
+    assert seed_doc not in {r["doc_id"] for r in mres.collect()}
+
+    # rank-metrics: judge the field results against themselves (rel = 1 for
+    # the top-2 docs) -> recall@5 = 1.0
+    qrels_dir = str(tmp_path / "grels")
+    fres.filter("rank <= 2").select(
+        "query_id", "doc_id", F.lit(1).alias("rel")
+    ).write.parquet(qrels_dir)
+    rmdir = str(tmp_path / "rm")
+    cli.main(["rank-metrics", "--results", fdir, "--qrels", qrels_dir,
+              "--k", "5", "--out", rmdir])
+    import csv
+    import os as _os
+
+    rows = []
+    for fn in _os.listdir(rmdir):
+        if fn.endswith(".csv"):
+            with open(_os.path.join(rmdir, fn)) as f:
+                rows += list(csv.DictReader(f))
+    assert rows and all(float(r["recall"]) == 1.0 for r in rows)
+
+    # --synonyms flag on plain search
+    syn_dir = str(tmp_path / "syn")
+    spark.createDataFrame(
+        [("def", "import")], "term string, variant string"
+    ).write.parquet(syn_dir)
+    q2 = str(tmp_path / "q2.tsv")
+    with open(q2, "w") as f:
+        f.write("1\tdef\n")
+    sres_dir = str(tmp_path / "sres")
+    cli.main(["search", "--index-dir", bi, "--queries", q2, "--top-n", "5",
+              "--synonyms", syn_dir, "--out", sres_dir])
+    assert spark.read.parquet(sres_dir).count() > 0
