@@ -39,6 +39,12 @@ from dense_retriever_spark.index.search import (
 )
 from dense_retriever_spark.operators.topk import topk_per_group
 
+#: seed shards are collected (bounded probe) for partition pruning of the
+#: docs scan while the distinct-shard set stays below this; past it the
+#: docs join runs unpruned (still correct — and at that seed count the
+#: query reads most partitions anyway)
+_SEED_SHARD_FILTER_LIMIT = 100_000
+
 
 def interesting_terms(
     spark: SparkSession,
@@ -61,14 +67,30 @@ def interesting_terms(
     paths = IndexPaths(index_dir)
     n_docs = float(stats["n_docs"])
 
-    if content_df is None:
-        content_df = spark.read.parquet(paths.docs).select(
-            "doc_id", "content"
-        )
-    seed_text = seeds.select(
+    seeds_n = seeds.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("doc_id").cast("long").alias("doc_id"),
-    ).join(content_df, "doc_id")
+    )
+    if content_df is None:
+        docs = spark.read.parquet(paths.docs)
+        # docs/ is written partitioned by shard: push the seeds' shard set
+        # into the scan (collected bounded probe, the _excl_plan pattern) so
+        # a handful of seeds reads a handful of partitions, not the corpus
+        dps = int(stats["docs_per_shard"])
+        shard_rows = (
+            seeds_n.select(
+                (F.col("doc_id") / dps).cast("long").alias("shard")
+            )
+            .distinct()
+            .limit(_SEED_SHARD_FILTER_LIMIT + 1)
+            .collect()
+        )
+        if len(shard_rows) <= _SEED_SHARD_FILTER_LIMIT:
+            docs = docs.filter(
+                F.col("shard").isin([int(r["shard"]) for r in shard_rows])
+            )
+        content_df = docs.select("doc_id", "content")
+    seed_text = seeds_n.join(content_df, "doc_id")
 
     # seed term frequencies with the INDEX's tokenizer (the terms must be
     # the index's vocabulary or df lookups would miss)
