@@ -297,6 +297,32 @@ def main() -> None:
         timings["q_search_prefix"] / 100 * 1000, 2
     )
 
+    # multi-field combination machinery (index/fields.py): two weighted
+    # legs over the SAME physical index — measures the untruncated
+    # score_matches legs + pivot combine + re-rank without paying two more
+    # index builds; per-leg scan cost is the real per-field cost
+    from dense_retriever_spark.index.fields import search_fields
+
+    timed("q_search_multifield", lambda: search_fields(
+        spark, [("a", idx_dir, 1.0), ("b", idx_dir, 0.5)], queries, k=10
+    ).count())
+    extra["multifield_p50_ms_per_query"] = round(
+        timings["q_search_multifield"] / 100 * 1000, 2
+    )
+
+    # more-like-this (index/mlt.py): 100 seed docs spread across the
+    # corpus — interesting-term selection (pruned docs scan + stats join)
+    # + the standard scored search + seed anti-join
+    from dense_retriever_spark.index.mlt import more_like_this
+
+    seeds = spark.range(100).selectExpr(
+        "id as query_id", f"id * {max(n_corpus // 100, 1)} as doc_id"
+    )
+    timed("q_mlt", lambda: more_like_this(
+        spark, idx_dir, seeds, k=10, max_terms=10
+    ).count())
+    extra["mlt_p50_ms_per_query"] = round(timings["q_mlt"] / 100 * 1000, 2)
+
     # distributed query plane: a 5k-query batch flowing as a RELATION
     # (query terms ⋈ global stats ⋈ shard presence, cogrouped with the shard
     # scan — O(1) driver state at any |Q|): the training-set-scale path.

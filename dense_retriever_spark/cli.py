@@ -63,6 +63,11 @@ def cmd_build_index(args) -> None:
         content_source=content_source,
         global_layout=args.global_layout,
         positions=args.positions or None,
+        stopwords=(
+            [w for w in args.stopwords.split(",") if w]
+            if args.stopwords is not None
+            else None
+        ),
     )
     from dense_retriever_spark.index.search import load_stats
 
@@ -658,6 +663,11 @@ def main(argv=None) -> None:
     b.add_argument("--positions", action="store_true",
                    help="phrase-capable index: store per-term position "
                         "streams (read only by phrase-search)")
+    b.add_argument("--stopwords", default=None,
+                   help="comma-separated terms dropped at index time "
+                        "(Lucene-StopFilter semantics: dl/avgdl count "
+                        "indexed terms only; recorded in stats.json and "
+                        "inherited by incremental builds/compaction)")
     b.set_defaults(fn=cmd_build_index)
 
     ph = sub.add_parser("phrase-search")

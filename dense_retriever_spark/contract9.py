@@ -427,6 +427,106 @@ FROM rk WHERE rank <= {_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# q74 — build-time stopwords (build_index(stopwords=...)): the corpus
+# vocabulary contains 'a' and 'the'; the index drops them at build time
+# (Lucene-StopFilter semantics: dl/avgdl count indexed terms only), and the
+# oracle restates that by filtering the token lists before every statistic.
+# A query containing a stopword scores exactly as if the word were absent.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS: list[str] = ["a", "the"]
+_STOP_QUERIES: list[tuple[int, str]] = [
+    (0, "the query plan"),      # stopword + scored terms
+    (1, "a customer stream"),
+    (2, "table scan"),          # no stopwords: sanity leg
+    (3, "the a"),               # stopword-only: empty result
+]
+
+_STOP_IDX_CACHE: dict[str, str] = {}
+
+
+def _stop_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    from dense_retriever_spark.contract4 import _docs_as_index_input
+    from dense_retriever_spark.index.build import build_index
+
+    if sf_dir in _STOP_IDX_CACHE:
+        return _STOP_IDX_CACHE[sf_dir]
+    root = tempfile.mkdtemp(prefix="q74_stop_idx_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    idx = root + "/index"
+    build_index(
+        _docs_as_index_input(spark, sf_dir), idx,
+        docs_per_shard=128, term_buckets=2, stopwords=_STOPWORDS,
+    )
+    _STOP_IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q74_stopword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract5 import _rounded_topk
+    from dense_retriever_spark.index.search import search
+
+    idx = _stop_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(
+        _STOP_QUERIES, "query_id long, query string"
+    )
+    return _rounded_topk(search(spark, idx, queries, k=_OVERFETCH), _K)
+
+
+def _stopword_sql() -> str:
+    qvals = ", ".join(f"({i}, '{q}')" for i, q in _STOP_QUERIES)
+    stop_in = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"""
+WITH q(query_id, query) AS (VALUES {qvals}),
+tok AS (
+  SELECT doc_id,
+         list_filter({_TOK_SQL.format(c='text')},
+                     t -> t NOT IN ({stop_in})) AS terms
+  FROM documents
+),
+dd  AS (SELECT doc_id, terms, len(terms) AS dl FROM tok WHERE len(terms) > 0),
+st  AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd),
+tf  AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, min(dl)::DOUBLE AS dl
+  FROM (SELECT doc_id, unnest(terms) AS term, dl FROM dd)
+  GROUP BY doc_id, term
+),
+qt  AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, unnest({_TOK_SQL.format(c='query')}) AS term FROM q
+  ) WHERE term NOT IN ({stop_in})
+),
+dfr AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+con AS (
+  SELECT qt.query_id, tf.doc_id,
+         ((ln(1 + (st.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf) * {BM25_K1 + 1.0})
+         / (tf.tf + {BM25_K1}*({1.0 - BM25_B} + ({BM25_B}*tf.dl)/st.avgdl)) AS c
+  FROM tf JOIN qt USING (term) JOIN dfr USING (term) CROSS JOIN st
+),
+sc AS (
+  SELECT query_id, doc_id, round(sum(c), 4) AS score
+  FROM con GROUP BY query_id, doc_id
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       score::DOUBLE AS score, rank::INT AS rank
+FROM rk WHERE rank <= {_K}
+"""
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_multifield_search": q68_multifield_search,
     "q69_multifield_search_distributed": q69_multifield_search_distributed,
@@ -434,6 +534,7 @@ QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_more_like_this": q71_more_like_this,
     "q72_more_like_this_distributed": q72_more_like_this_distributed,
     "q73_synonym_search": q73_synonym_search,
+    "q74_stopword_search": q74_stopword_search,
 }
 
 
@@ -447,6 +548,7 @@ def _oracles9() -> dict[str, str]:
         "q71_more_like_this": mlt,
         "q72_more_like_this_distributed": mlt,
         "q73_synonym_search": _synonym_sql(),
+        "q74_stopword_search": _stopword_sql(),
     }
 
 

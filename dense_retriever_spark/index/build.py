@@ -240,7 +240,26 @@ def _build_shard_from_content_positional(pdf: pd.DataFrame):
     return _build_shard_rows(pdf, True)
 
 
-def _build_shard_rows(pdf: pd.DataFrame, positions: bool):
+def _make_shard_builder(positions: bool, stopwords):
+    """Phase-A builder closure carrying the index's stopword set (numpy str
+    array or None); module-level wrappers above stay for the no-stopword
+    default path and external callers."""
+    if stopwords is None or len(stopwords) == 0:
+        return (
+            _build_shard_from_content_positional
+            if positions
+            else _build_shard_from_content
+        )
+
+    def _f(pdf: pd.DataFrame):
+        return _build_shard_rows(pdf, positions, stopwords)
+
+    return _f
+
+
+def _build_shard_rows(
+    pdf: pd.DataFrame, positions: bool, stopwords=None
+):
     """applyInPandas body for ONE doc-range shard, fed RAW TEXT.
 
     Tokenization happens here (vectorized pandas tokenizer), so the build's
@@ -254,7 +273,14 @@ def _build_shard_rows(pdf: pd.DataFrame, positions: bool):
     per-term position stream in canonical token order (codec.
     encode_position_stream), split at query time by the posting blob's own
     tf stream. Costs one extra v-byte stream per posting — the scoring path
-    never reads it (column pruning keeps it out of every non-phrase scan)."""
+    never reads it (column pruning keeps it out of every non-phrase scan).
+
+    ``stopwords`` (numpy str array): tokens in the set are dropped from the
+    stream BEFORE tf/df/cf/dl — the Lucene-StopFilter semantics where the
+    analyzer never emits them, so document length and avgdl count indexed
+    terms only (consistent with the cf-derived avgdl). Positions keep their
+    ORIGINAL canonical indices (gap semantics): a phrase cannot match
+    across a dropped stopword."""
     from dense_retriever_spark.functions.tokenizer import tokenize_code_flat
 
     cols = [
@@ -279,6 +305,22 @@ def _build_shard_rows(pdf: pd.DataFrame, positions: bool):
         tok_pos = None
     if codes.size == 0:
         return empty
+    if stopwords is not None and len(stopwords):
+        terms_all = (
+            uniques.to_numpy()
+            if hasattr(uniques, "to_numpy")
+            else np.asarray(uniques)
+        )
+        stop_code = np.isin(terms_all, stopwords)
+        if stop_code.any():
+            keep = ~stop_code[codes]
+            doc_idx, codes = doc_idx[keep], codes[keep]
+            if tok_pos is not None:
+                tok_pos = tok_pos[keep]
+            # dl counts INDEXED terms only (see docstring) — recompute
+            dl = np.bincount(doc_idx, minlength=dl.shape[0]).astype(dl.dtype)
+            if codes.size == 0:
+                return empty
     doc_ids_in = pdf["doc_id"].to_numpy(np.int64)
     shard = int(pdf["shard"].iloc[0])
     out = []
@@ -627,6 +669,7 @@ def build_index(
     global_layout: str | None = None,
     max_gens: int = 32,
     positions: bool | None = None,
+    stopwords: list[str] | None = None,
 ) -> IndexPaths:
     """Build the full index from an ingested corpus (doc_id + content_sha).
 
@@ -636,6 +679,16 @@ def build_index(
     inherits the existing index's setting (like ``global_layout``); the flag
     cannot change across incremental builds of one index (shards would mix
     layouts) — resharding to a fresh directory is the migration path.
+
+    ``stopwords``: terms dropped from the token stream at index time
+    (Lucene-StopFilter semantics — dl/avgdl count indexed terms only, so
+    building with stopwords is score-identical to building over text with
+    those words removed; positions keep their original indices, so phrases
+    cannot match across a dropped word). Recorded in stats.json; ``None``
+    inherits the existing index's set, and an incremental build cannot
+    change it (shards would mix vocabularies). The 100 TB lever: the most
+    frequent tokens dominate postings bytes, and dropping them also removes
+    the largest (most skewed) term groups from the phase-B merge.
 
     ``shard_batch``: how many doc-range shards to build per driver round
     (None = all in one Spark job). Smaller batches = finer-grained
@@ -688,6 +741,7 @@ def build_index(
 
     prev_layout = None
     prev_positions = None
+    prev_stop: list[str] | None = None
     prev_gen_ids: list[int] = []
     if fs.exists(paths.stats, spark):
         prev = json.loads(fs.read_text(paths.stats, spark))
@@ -720,6 +774,18 @@ def build_index(
                 "would mix positional and non-positional rows. Rebuild into "
                 "a fresh directory (or reshard) to change it"
             )
+        prev_stop = sorted(prev.get("stopwords", []) or [])
+        if (
+            stopwords is not None
+            and sorted(set(stopwords)) != prev_stop
+            and fs.is_dir(paths.manifest, spark)
+        ):
+            raise ValueError(
+                f"index at {index_dir} was built with stopwords="
+                f"{prev_stop}; an incremental build cannot change the set — "
+                "resumed shards would mix vocabularies. Rebuild into a "
+                "fresh directory to change it"
+            )
         # the copy-forward sweep must keep every gen dir the CURRENTLY
         # committed stats.json references (a serving reader's view)
         prev_gen_ids = [int(i) for i in (prev.get("gen_ids") or [])]
@@ -729,6 +795,9 @@ def build_index(
         raise ValueError(f"unknown global_layout {global_layout!r}")
     layout = global_layout or prev_layout or "merged"
     pos_flag = bool(positions) if positions is not None else bool(prev_positions)
+    stop_list = (
+        sorted(set(stopwords)) if stopwords is not None else (prev_stop or [])
+    )
     if prev_layout is not None and layout != prev_layout:
         # layout switch: global/ is derived data — rebuild it from shards in
         # the requested layout (gens metadata lives inside global/, so the
@@ -855,15 +924,13 @@ def build_index(
                 content_source.select("repo", "path", "commit", "content"),
                 ["repo", "path", "commit"],
             ).select("shard", "doc_id", "content")
-        if pos_flag:
-            rows = part.groupBy("shard").applyInPandas(
-                _build_shard_from_content_positional,
-                schema=POSTING_ROW_SCHEMA + ", positions binary",
-            )
-        else:
-            rows = part.groupBy("shard").applyInPandas(
-                _build_shard_from_content, schema=POSTING_ROW_SCHEMA,
-            )
+        builder = _make_shard_builder(
+            pos_flag, np.asarray(stop_list) if stop_list else None
+        )
+        schema_a = POSTING_ROW_SCHEMA + (
+            ", positions binary" if pos_flag else ""
+        )
+        rows = part.groupBy("shard").applyInPandas(builder, schema=schema_a)
         (
             rows.sortWithinPartitions("shard", "term")
             .write.mode("overwrite")
@@ -1010,6 +1077,7 @@ def build_index(
                 "build_tag": build_tag,
                 "global_layout": layout,
                 "positions": pos_flag,
+                "stopwords": stop_list,
                 # gens are stats-only (term, df, cf) as of round 7; readers
                 # never needed more, so the marker is documentation, not a
                 # compat gate — old postings-bearing gen dirs still read

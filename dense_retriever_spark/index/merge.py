@@ -107,6 +107,14 @@ def _validate_sources(spark: SparkSession, src_dirs: list[str]) -> list[dict]:
                 f"expected {bool(first.get('positions', False))} — merged "
                 "shards cannot mix positional and non-positional rows"
             )
+        if sorted(st.get("stopwords", []) or []) != sorted(
+            first.get("stopwords", []) or []
+        ):
+            raise ValueError(
+                f"index at {d} has stopwords={st.get('stopwords')}, "
+                f"expected {first.get('stopwords')} — merged shards must "
+                "share one vocabulary filter"
+            )
     return stats
 
 
@@ -337,4 +345,5 @@ def merge_indexes(
         content_source=content_source,
         global_layout=layout,
         positions=bool(stats[0].get("positions", False)),
+        stopwords=stats[0].get("stopwords") or None,
     )

@@ -1,5 +1,6 @@
 """N→4N scaling evidence for the round-7 query surfaces (boolean / prefix /
-fuzzy), per the task directive's two-parallelism-level protocol.
+fuzzy / multifield / mlt), per the task directive's two-parallelism-level
+protocol.
 
 The INDEX is staged+built once (untimed, local[32], tmpfs) and shared
 read-only; each parallelism level then runs the same three query batches on
@@ -81,13 +82,31 @@ fz_q = base.selectExpr("query_id",
     "      then concat(' ', split(query, ' ')[1]) else '' end) as query")
 
 out = {"cpus": cpus, "n_queries": n_queries}
-for name, fn, q in [
-    ("boolean", search_boolean, bool_q),
-    ("prefix",  search_prefix,  pfx_q),
-    ("fuzzy",   search_fuzzy,   fz_q),
+from dense_retriever_spark.index.fields import search_fields
+from dense_retriever_spark.index.mlt import more_like_this
+from dense_retriever_spark.index.search import load_stats
+
+n_docs_idx = int(load_stats(idx)["n_docs"])
+seeds = spark.range(n_queries).selectExpr(
+    "id as query_id",
+    f"cast(id * {max(n_docs_idx // max(n_queries, 1), 1)} as long) as doc_id",
+)
+for name, run in [
+    ("boolean", lambda: search_boolean(
+        spark, idx, bool_q, k=10, query_mode="distributed").count()),
+    ("prefix",  lambda: search_prefix(
+        spark, idx, pfx_q, k=10, query_mode="distributed").count()),
+    ("fuzzy",   lambda: search_fuzzy(
+        spark, idx, fz_q, k=10, query_mode="distributed").count()),
+    ("multifield", lambda: search_fields(
+        spark, [("a", idx, 1.0), ("b", idx, 0.5)], base, k=10,
+        query_mode="distributed").count()),
+    ("mlt", lambda: more_like_this(
+        spark, idx, seeds, k=10, max_terms=10,
+        query_mode="distributed").count()),
 ]:
     t0 = time.time()
-    n = fn(spark, idx, q, k=10, query_mode="distributed").count()
+    n = run()
     dt = time.time() - t0
     out[name] = {"sec": round(dt, 3), "qps": round(n_queries / dt, 1),
                  "rows": n}
@@ -134,7 +153,7 @@ def main() -> None:
         "n_docs": n_docs, "n_queries": n_queries,
         "levels": [lo, hi], "runs": results,
     }
-    for mode in ("boolean", "prefix", "fuzzy"):
+    for mode in ("boolean", "prefix", "fuzzy", "multifield", "mlt"):
         sp = results[hi][mode]["qps"] / results[lo][mode]["qps"]
         report[f"{mode}_speedup"] = round(sp, 3)
         report[f"{mode}_efficiency"] = round(sp / factor, 3)
