@@ -151,7 +151,9 @@ def cmd_search(args) -> None:
             spark, args.index_dir, queries, syn, **common
         )
     else:
-        res = search(spark, args.index_dir, queries, **common)
+        res = search(
+            spark, args.index_dir, queries, offset=args.offset, **common
+        )
     res.write.mode("overwrite").parquet(args.out)
     # count the WRITTEN parquet — counting `res` under --lazy would re-run
     # the whole search a second time
@@ -710,6 +712,10 @@ def main(argv=None) -> None:
     s.add_argument("--max-edits", type=int, default=1,
                    help="fuzzy syntax: default edit distance for bare ~ "
                         "segments (~1 / ~2 pin it per segment; max 2)")
+    s.add_argument("--offset", type=int, default=0,
+                   help="pagination (plain syntax only): return the rank "
+                        "window [offset+1, offset+top-n] with absolute "
+                        "ranks; cost grows with page depth")
     s.add_argument("--synonyms", default=None,
                    help="parquet (term, variant): plain-syntax queries "
                         "expand through this relation before scoring "

@@ -431,8 +431,16 @@ def search(
     eager: bool = True,
     include_doc_ids: DataFrame | None = None,
     query_mode: str = "broadcast",
+    offset: int = 0,
 ) -> DataFrame:
     """Top-k BM25 search. Output: (query_id, doc_id, score, rank).
+
+    ``offset``: pagination — return the rank window [offset+1, offset+k]
+    with ABSOLUTE ranks (page 2 of 10 carries ranks 11-20). Internally the
+    search runs at k+offset and filters, so cost grows with page depth —
+    the classic deep-paging caveat every search engine shares; for bulk
+    export use ``score_matches`` (no truncation at all) instead of walking
+    pages.
 
     ``exclude_doc_ids``: optional (doc_id) DataFrame of tombstoned docs —
     typically a dedup kill-list (dedup_exact / connected_components output) —
@@ -476,22 +484,29 @@ def search(
     then owns the broadcast lifetime (released on garbage collection).
     """
     stats = load_stats(index_dir)
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    k_fetch = k + offset
     if query_mode == "auto":
         n_q = queries_df.limit(QUERY_BROADCAST_LIMIT + 1).count()
         query_mode = (
             "broadcast" if n_q <= QUERY_BROADCAST_LIMIT else "distributed"
         )
     if query_mode == "broadcast":
-        return _search_broadcast(
-            spark, index_dir, stats, queries_df, k, use_blockmax,
+        out = _search_broadcast(
+            spark, index_dir, stats, queries_df, k_fetch, use_blockmax,
             exclude_doc_ids, eager, include_doc_ids,
         )
-    if query_mode != "distributed":
+    elif query_mode == "distributed":
+        out = _search_distributed(
+            spark, index_dir, stats, queries_df, k_fetch, use_blockmax,
+            exclude_doc_ids, eager, include_doc_ids,
+        )
+    else:
         raise ValueError(f"unknown query_mode {query_mode!r}")
-    return _search_distributed(
-        spark, index_dir, stats, queries_df, k, use_blockmax,
-        exclude_doc_ids, eager, include_doc_ids,
-    )
+    if offset:
+        out = out.filter(F.col("rank") > offset)
+    return out
 
 
 def score_matches(

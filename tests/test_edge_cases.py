@@ -66,3 +66,28 @@ def test_shard_scan_partition_pruning(spark, tmp_path, tiny_corpus):
     assert "PartitionFilters" in txt
     line = [ln for ln in txt.splitlines() if "PartitionFilters" in ln][0]
     assert "shard" in line
+
+
+def test_search_offset_pagination(spark, tiny_corpus, tiny_queries, tmp_path):
+    """offset returns the absolute-rank window [offset+1, offset+k] and
+    pages tile the un-paged ranking exactly."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.index.build import build_index
+    from dense_retriever_spark.index.search import search
+
+    d = str(tmp_path / "pidx")
+    build_index(tiny_corpus, d, docs_per_shard=32, term_buckets=2)
+    qs = tiny_queries.limit(5)
+    full = search(spark, d, qs, k=10).toPandas()
+    p1 = search(spark, d, qs, k=5).toPandas()
+    p2 = search(spark, d, qs, k=5, offset=5).toPandas()
+    pages = pd.concat([p1, p2]).sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    fulls = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pages, fulls)
+    assert (p2["rank"] > 5).all()
+    with pytest.raises(ValueError, match="offset"):
+        search(spark, d, qs, k=5, offset=-1)
