@@ -143,6 +143,13 @@ def cmd_search(args) -> None:
             spark, args.index_dir, queries,
             max_edits=args.max_edits, **common,
         )
+    elif args.syntax == "regex":
+        from dense_retriever_spark.index.regexq import search_regex
+
+        res = search_regex(
+            spark, args.index_dir, queries,
+            max_expansions=args.max_expansions, **common,
+        )
     elif args.synonyms:
         from dense_retriever_spark.index.synonyms import search_synonyms
 
@@ -700,12 +707,13 @@ def main(argv=None) -> None:
                         "are written below either way; lazy defers the per-"
                         "call broadcast release to GC)")
     s.add_argument("--syntax", default="plain",
-                   choices=["plain", "boolean", "prefix", "fuzzy"],
+                   choices=["plain", "boolean", "prefix", "fuzzy", "regex"],
                    help="query grammar: plain BM25 bag-of-terms; boolean "
                         "(+required / -forbidden segments); prefix "
                         "(trailing-* segments expand against the term "
                         "dictionary); fuzzy (trailing-~ segments match at "
-                        "bounded edit distance)")
+                        "bounded edit distance); regex (/pattern/ segments "
+                        "full-match dictionary terms)")
     s.add_argument("--max-expansions", type=int, default=1024,
                    help="prefix syntax: per-pattern dictionary expansion "
                         "cap (lexicographically smallest terms win)")

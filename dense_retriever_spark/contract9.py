@@ -527,6 +527,101 @@ FROM rk WHERE rank <= {_K}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q75 — regex term search (index/regexq.py): /pattern/ segments expand
+# against the term dictionary with FULL anchoring; the oracle re-derives the
+# dictionary and states the same match with regexp_full_match. Patterns kept
+# to the RE2/Java-regex common dialect.
+# ---------------------------------------------------------------------------
+
+_REGEX_QUERIES: list[tuple[int, str]] = [
+    (0, "/quer(y|ies)/ plan"),     # alternation + literal
+    (1, "/s(can|low)/"),           # two-branch class
+    (2, "/filt.r/ group"),         # single-char wildcard
+    (3, "/zzz+q/ table"),          # no-match pattern + literal
+]
+
+
+def q75_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract4 import _q38_index_dir
+    from dense_retriever_spark.contract5 import _rounded_topk
+    from dense_retriever_spark.index.regexq import search_regex
+
+    idx = _q38_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(
+        _REGEX_QUERIES, "query_id long, query string"
+    )
+    return _rounded_topk(
+        search_regex(spark, idx, queries, k=_OVERFETCH), _K
+    )
+
+
+def _regex_sql() -> str:
+    from dense_retriever_spark.index.regexq import split_regex_query
+
+    lit_vals, pat_vals = [], []
+    for qid, q in _REGEX_QUERIES:
+        lits, pats = split_regex_query(q)
+        for seg in lits:
+            lit_vals.append(f"({qid}, '{seg.lower()}')")
+        for p in pats:
+            pat_vals.append(f"({qid}, '{p}')")
+    lit_sql = ", ".join(lit_vals) or "(NULL, NULL)"
+    pat_sql = ", ".join(pat_vals) or "(NULL, NULL)"
+    return f"""
+WITH qlit(query_id, term) AS (VALUES {lit_sql}),
+qpat(query_id, pattern) AS (VALUES {pat_sql}),
+tok AS (
+  SELECT doc_id, {_TOK_SQL.format(c='text')} AS terms FROM documents
+),
+dd  AS (SELECT doc_id, terms, len(terms) AS dl FROM tok WHERE len(terms) > 0),
+st  AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd),
+tf  AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, min(dl)::DOUBLE AS dl
+  FROM (SELECT doc_id, unnest(terms) AS term, dl FROM dd)
+  GROUP BY doc_id, term
+),
+dict AS (SELECT DISTINCT term FROM tf),
+expd AS (
+  SELECT p.query_id, d.term
+  FROM qpat p JOIN dict d ON regexp_full_match(d.term, p.pattern)
+  WHERE p.query_id IS NOT NULL
+),
+qt AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, term FROM qlit WHERE query_id IS NOT NULL
+    UNION ALL
+    SELECT query_id, term FROM expd
+  )
+),
+dfr AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+con AS (
+  SELECT qt.query_id, tf.doc_id,
+         ((ln(1 + (st.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf) * {BM25_K1 + 1.0})
+         / (tf.tf + {BM25_K1}*({1.0 - BM25_B} + ({BM25_B}*tf.dl)/st.avgdl)) AS c
+  FROM tf JOIN qt USING (term) JOIN dfr USING (term) CROSS JOIN st
+),
+sc AS (
+  SELECT query_id, doc_id, round(sum(c), 4) AS score
+  FROM con GROUP BY query_id, doc_id
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       score::DOUBLE AS score, rank::INT AS rank
+FROM rk WHERE rank <= {_K}
+"""
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_multifield_search": q68_multifield_search,
     "q69_multifield_search_distributed": q69_multifield_search_distributed,
@@ -535,6 +630,7 @@ QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_more_like_this_distributed": q72_more_like_this_distributed,
     "q73_synonym_search": q73_synonym_search,
     "q74_stopword_search": q74_stopword_search,
+    "q75_regex_search": q75_regex_search,
 }
 
 
@@ -549,6 +645,7 @@ def _oracles9() -> dict[str, str]:
         "q72_more_like_this_distributed": mlt,
         "q73_synonym_search": _synonym_sql(),
         "q74_stopword_search": _stopword_sql(),
+        "q75_regex_search": _regex_sql(),
     }
 
 
