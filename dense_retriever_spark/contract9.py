@@ -622,6 +622,66 @@ FROM rk WHERE rank <= {_K}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q76 — bag-of-terms snippets (operators/snippets.py::term_snippet_windows)
+# over the q38 top-10 result set: window anchored at the first occurrence of
+# ANY query term; the oracle recomputes the q01 top-10 and the same window
+# arithmetic with list functions.
+# ---------------------------------------------------------------------------
+
+_SNIP_WINDOW = 4
+
+
+def q76_term_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract4 import q38_indexed_search
+    from dense_retriever_spark.operators.snippets import term_snippet_windows
+
+    res = q38_indexed_search(spark, sf_dir)  # hash-matches Q01's top-10
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id long, query string"
+    )
+    return term_snippet_windows(
+        docs, queries, results=res, window=_SNIP_WINDOW
+    )
+
+
+def _term_snip_sql() -> str:
+    from dense_retriever_spark.contract import Q01_SQL
+
+    w = _SNIP_WINDOW
+    return f"""
+WITH res AS ({Q01_SQL}),
+q(query_id, query) AS (VALUES {_QUERY_VALUES_SQL}),
+qt AS (
+  SELECT query_id, {_TOK_SQL.format(c='query')} AS qtoks FROM q
+),
+tok AS (
+  SELECT doc_id, {_TOK_SQL.format(c='text')} AS terms FROM documents
+),
+m AS (
+  SELECT r.query_id, r.doc_id, t.terms,
+         list_filter(range(1, len(t.terms)+1),
+                     i -> list_contains(qt.qtoks, t.terms[i]))[1] AS first_pos
+  FROM (SELECT DISTINCT query_id, doc_id FROM res) r
+  JOIN tok t USING (doc_id)
+  JOIN qt  USING (query_id)
+),
+f AS (SELECT * FROM m WHERE first_pos IS NOT NULL),
+s AS (
+  SELECT query_id, doc_id, first_pos,
+         greatest(first_pos - {w}, 1) AS st, terms
+  FROM f
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       first_pos::BIGINT AS first_pos,
+       array_to_string(list_slice(terms, st, st + {2 * w}), ' ') AS snippet
+FROM s
+"""
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_multifield_search": q68_multifield_search,
     "q69_multifield_search_distributed": q69_multifield_search_distributed,
@@ -631,6 +691,7 @@ QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_synonym_search": q73_synonym_search,
     "q74_stopword_search": q74_stopword_search,
     "q75_regex_search": q75_regex_search,
+    "q76_term_snippets": q76_term_snippets,
 }
 
 
@@ -646,6 +707,7 @@ def _oracles9() -> dict[str, str]:
         "q73_synonym_search": _synonym_sql(),
         "q74_stopword_search": _stopword_sql(),
         "q75_regex_search": _regex_sql(),
+        "q76_term_snippets": _term_snip_sql(),
     }
 
 

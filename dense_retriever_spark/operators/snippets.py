@@ -74,6 +74,66 @@ def snippet_windows(
     )
 
 
+def term_snippet_windows(
+    docs: DataFrame,
+    queries_df: DataFrame,
+    results: DataFrame | None = None,
+    window: int = 5,
+    doc_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bag-of-terms hit context: (query_id, doc_id, first_pos, snippet)
+    with the window anchored at the FIRST occurrence of ANY query term —
+    the highlighting companion to plain ``search`` the way
+    ``snippet_windows`` companions phrase search.
+
+    ``results`` (optional, the realistic flow): a search output
+    (query_id, doc_id, ...) restricting the pairs to the hits — the doc
+    scan then joins only k × |Q| rows instead of crossing every doc with
+    every query. Pure column expressions either way; deterministic
+    (first = smallest 1-based token index whose token is a query token)."""
+    qt = queries_df.select(
+        "query_id", tokenize_text_expr("query").alias("qtoks")
+    ).filter(F.size("qtoks") > 0)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_text_expr(doc_col).alias("t"),
+    )
+    if results is not None:
+        pairs = results.select("query_id", "doc_id").distinct()
+        j = (
+            pairs.join(d, "doc_id")
+            .join(F.broadcast(qt), "query_id")
+        )
+    else:
+        j = d.join(F.broadcast(qt))
+    n = F.size("t")
+    idxs = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hits = F.filter(
+        idxs,
+        lambda i: F.array_contains(
+            F.col("qtoks"), F.element_at(F.col("t"), i)
+        ),
+    )
+    first = F.try_element_at(hits, F.lit(1))
+    s = F.greatest(first - F.lit(int(window)), F.lit(1))
+    snip = F.array_join(
+        F.slice(F.col("t"), s, F.lit(2 * int(window) + 1)), " "
+    )
+    return (
+        j.withColumn("first_pos", first)
+        .filter(F.col("first_pos").isNotNull())
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("doc_id").cast("long"),
+            F.col("first_pos").cast("long"),
+            snip.alias("snippet"),
+        )
+    )
+
+
 def snippet_sql(
     phrase_arms: list[tuple[int, list[str]]],
     window: int,

@@ -36,3 +36,47 @@ def test_snippet_windows_edges(spark):
     # no-match doc, too-short doc, empty phrase: absent
     assert (0, 2) not in rows and (0, 3) not in rows
     assert not any(q == 2 for q, _ in rows)
+
+
+# --- bag-of-terms (best-term) snippets -------------------------------------
+
+
+def test_term_snippets_first_any_match(spark):
+    from dense_retriever_spark.operators.snippets import term_snippet_windows
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven eight"),
+            (1, "alpha beta three gamma"),
+            (2, "no match here"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(0, "three seven")], "query_id long, query string"
+    )
+    got = {
+        r["doc_id"]: (r["first_pos"], r["snippet"])
+        for r in term_snippet_windows(docs, qs, window=2).collect()
+    }
+    # doc 0: 'three' at pos 3 beats 'seven' at 7; window [1, 5]
+    assert got[0] == (3, "one two three four five")
+    # doc 1: 'three' at pos 3, window clamped left
+    assert got[1] == (3, "alpha beta three gamma")
+    assert 2 not in got
+
+
+def test_term_snippets_restricted_to_results(spark):
+    from dense_retriever_spark.operators.snippets import term_snippet_windows
+
+    docs = spark.createDataFrame(
+        [(0, "three x"), (1, "three y")], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame(
+        [(0, "three")], "query_id long, query string"
+    )
+    res = spark.createDataFrame(
+        [(0, 1)], "query_id long, doc_id long"
+    )
+    got = term_snippet_windows(docs, qs, results=res, window=2).collect()
+    assert [r["doc_id"] for r in got] == [1]
