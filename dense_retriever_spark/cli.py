@@ -118,6 +118,16 @@ def cmd_search(args) -> None:
             F.col("doc_id").cast("long").alias("doc_id")
         )
 
+    if args.synonyms and args.syntax != "plain":
+        raise SystemExit(
+            f"--synonyms applies to plain syntax only (got --syntax "
+            f"{args.syntax}); expand-then-{args.syntax} is not defined"
+        )
+    if args.offset and args.syntax != "plain":
+        raise SystemExit(
+            f"--offset applies to plain syntax only (got --syntax "
+            f"{args.syntax})"
+        )
     common = dict(
         k=args.top_n,
         exclude_doc_ids=ids(args.exclude_ids),

@@ -416,6 +416,28 @@ def refresh_ann_index(
         ).collect()[0]
         n_w = int(row["n"])
         if n_w == 0:
+            # nothing new — EXCEPT after a crash between the cells append
+            # and the meta write: the replayed ids all dedup away (they're
+            # in cells/) but the meta still excludes them. Reconcile
+            # against the actual cells count; on mismatch, recompute the
+            # coherence mean over cells (their assigned centroid is
+            # recorded, so cdot is reconstructible) — O(N), paid only on
+            # heal, never on a plain no-op refresh of a consistent index.
+            n_cells = spark.read.parquet(paths.cells).count()
+            if n_cells != int(meta["n_vectors"]):
+                coh_row = (
+                    spark.read.parquet(paths.cells)
+                    .join(cents_b, "centroid_id")
+                    .agg(
+                        F.avg(
+                            cosine_expr(F.col("evec"), F.col("cvec"))
+                        ).alias("m")
+                    )
+                    .collect()[0]
+                )
+                meta["n_vectors"] = int(n_cells)
+                meta["mean_top1_cosine"] = round(float(coh_row["m"]), 6)
+                fs.write_text_atomic(paths.meta, json.dumps(meta), spark)
             return meta
         (
             asg.drop("cdot")

@@ -65,7 +65,10 @@ def split_fuzzy_query(
         stem, edits = None, None
         if seg.endswith("~"):
             stem, edits = seg[:-1], default_edits
-        elif len(seg) > 2 and seg[-2] == "~" and seg[-1].isdigit():
+        elif len(seg) >= 2 and seg[-2] == "~" and seg[-1] in "0123456789":
+            # exact mirror of the executor's rlike('~[0-9]$'): "~1" IS a
+            # fuzzy segment (empty stem, dropped below), and non-ASCII
+            # digits are NOT (str.isdigit accepts them; the rlike doesn't)
             stem, edits = seg[:-2], int(seg[-1])
         if stem is not None:
             stem = stem.lower()

@@ -125,6 +125,7 @@ def _expand(
                 "query_id",
                 F.lit(None).cast("string").alias("term"),
                 "prefix",
+                F.lit(None).cast("int").alias("rn"),
             ).limit(0)
         cond = F.col("term").startswith(pats[0])
         for p in pats[1:]:
@@ -135,12 +136,17 @@ def _expand(
         F.col("term").startswith(F.col("prefix")),
     )
     w = Window.partitionBy("prefix").orderBy("term")
+    # keep ONE row past the cap as a clip sentinel (rn == max+1): "pattern
+    # matched exactly max terms" and "pattern was truncated" are
+    # indistinguishable from a capped set alone; callers drop the sentinel
+    # before scoring and warn only when it exists
     exp_d = (
         exp_d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= max_expansions)
-        .drop("rn")
+        .filter(F.col("rn") <= max_expansions + 1)
     )
-    return exp_d.join(pfx, "prefix").select("query_id", "term", "prefix")
+    return exp_d.join(pfx, "prefix").select(
+        "query_id", "term", "prefix", "rn"
+    )
 
 
 def search_prefix(
@@ -165,7 +171,8 @@ def search_prefix(
         )
     lits, pfx = _prefix_segments(queries_df)
     exp = _expand(spark, index_dir, stats, pfx, max_expansions)
-    qt = lits.unionByName(exp.select("query_id", "term")).distinct()
+    kept = exp.filter(F.col("rn") <= max_expansions)
+    qt = lits.unionByName(kept.select("query_id", "term")).distinct()
 
     if query_mode == "broadcast":
         # interactive plane: the rewritten relation is bounded by
@@ -173,32 +180,39 @@ def search_prefix(
         # search()'s (qid, term) relation, in ONE job (literals marked by
         # prefix NULL) so the dictionary scan runs once, not once per
         # truncation-check/collect. The truncation check rides the same
-        # collect: a pattern whose expanded-term count hit the cap was
-        # clipped by the window. Residual prefix-search latency over plain
+        # collect via the rn == max+1 clip sentinel rows (dropped before
+        # scoring). Residual prefix-search latency over plain
         # search is the expanded disjunction itself (a short pattern over a
         # heavy-tailed dictionary can legally score hundreds of terms per
         # query — the oracle pays the same), not plan overhead.
         both = lits.select(
-            "query_id", "term", F.lit(None).cast("string").alias("prefix")
+            "query_id", "term", F.lit(None).cast("string").alias("prefix"),
+            F.lit(None).cast("int").alias("rn"),
         ).unionByName(exp)
         rows = both.collect()
-        per_prefix: dict[str, set[str]] = {}
-        for r in rows:
-            if r["prefix"] is not None:
-                per_prefix.setdefault(r["prefix"], set()).add(r["term"])
+        # rn == max+1 is the clip SENTINEL (see _expand): its presence —
+        # not the capped set size — proves truncation, so a pattern with
+        # exactly max matches no longer warns falsely
         clipped = sorted(
-            p for p, ts in per_prefix.items() if len(ts) >= max_expansions
+            {
+                r["prefix"] for r in rows
+                if r["rn"] is not None and r["rn"] > max_expansions
+            }
         )
         if clipped:
             warnings.warn(
-                f"prefix pattern(s) {clipped} expanded to ≥{max_expansions} "
+                f"prefix pattern(s) {clipped} expanded to >{max_expansions} "
                 "terms and were truncated to the lexicographically smallest "
                 "(raise max_expansions to widen)",
                 RuntimeWarning,
                 stacklevel=2,
             )
         qt_pairs = sorted(
-            {(int(r["query_id"]), r["term"]) for r in rows}
+            {
+                (int(r["query_id"]), r["term"])
+                for r in rows
+                if r["rn"] is None or r["rn"] <= max_expansions
+            }
         )
         if not qt_pairs:
             return spark.createDataFrame([], RESULT_SCHEMA)

@@ -46,11 +46,28 @@ _META = set(".^$*+?()[]{}|\\")
 
 
 def literal_prefix(pattern: str) -> str:
-    """Leading literal characters of a regex (stop at the first
+    """Leading literal characters REQUIRED by a regex (stop at the first
     metacharacter; drop the last literal if a quantifier follows it, since
-    ``ab?`` matches 'a'). The Lucene-style scan-prefilter derivation."""
+    ``ab?`` matches 'a'). The Lucene-style scan-prefilter derivation.
+
+    A top-level unescaped ``|`` voids the prefix entirely: in ``cat|dog``
+    the leading literals bind only to the FIRST branch, so no character is
+    required of every match — the prefilter must not assume one."""
+    depth = 0
+    esc = False
+    for ch in pattern:
+        if esc:
+            esc = False
+        elif ch == "\\":
+            esc = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(depth - 1, 0)
+        elif ch == "|" and depth == 0:
+            return ""
     out = []
-    for i, ch in enumerate(pattern):
+    for ch in pattern:
         if ch in _META:
             if ch in "*?{" and out:
                 out.pop()  # quantifier makes the previous char optional
@@ -125,6 +142,7 @@ def _expand(
                 "query_id",
                 F.lit(None).cast("string").alias("term"),
                 "pattern",
+                F.lit(None).cast("int").alias("rn"),
             ).limit(0)
         for p in plist:  # fail fast on the driver, not inside a task
             try:
@@ -145,12 +163,15 @@ def _expand(
         F.expr("term rlike concat('^(?:', pattern, ')$')"),
     )
     w = Window.partitionBy("pattern").orderBy("term")
+    # keep ONE row past the cap as a clip sentinel (rn == max+1) — see
+    # index/prefix.py::_expand for the rationale
     exp_d = (
         exp_d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= max_expansions)
-        .drop("rn")
+        .filter(F.col("rn") <= max_expansions + 1)
     )
-    return exp_d.join(pats, "pattern").select("query_id", "term", "pattern")
+    return exp_d.join(pats, "pattern").select(
+        "query_id", "term", "pattern", "rn"
+    )
 
 
 def search_regex(
@@ -175,30 +196,35 @@ def search_regex(
         )
     lits, pats = _segments(queries_df)
     exp = _expand(spark, index_dir, stats, pats, max_expansions)
-    qt = lits.unionByName(exp.select("query_id", "term")).distinct()
+    kept = exp.filter(F.col("rn") <= max_expansions)
+    qt = lits.unionByName(kept.select("query_id", "term")).distinct()
 
     if query_mode == "broadcast":
         both = lits.select(
-            "query_id", "term", F.lit(None).cast("string").alias("pattern")
+            "query_id", "term", F.lit(None).cast("string").alias("pattern"),
+            F.lit(None).cast("int").alias("rn"),
         ).unionByName(exp)
         rows = both.collect()
-        per_pat: dict[str, set[str]] = {}
-        for r in rows:
-            if r["pattern"] is not None:
-                per_pat.setdefault(r["pattern"], set()).add(r["term"])
         clipped = sorted(
-            p for p, ts in per_pat.items() if len(ts) >= max_expansions
+            {
+                r["pattern"] for r in rows
+                if r["rn"] is not None and r["rn"] > max_expansions
+            }
         )
         if clipped:
             warnings.warn(
-                f"regex pattern(s) {clipped} expanded to ≥{max_expansions} "
+                f"regex pattern(s) {clipped} expanded to >{max_expansions} "
                 "terms and were truncated to the lexicographically "
                 "smallest (raise max_expansions to widen)",
                 RuntimeWarning,
                 stacklevel=2,
             )
         qt_pairs = sorted(
-            {(int(r["query_id"]), r["term"]) for r in rows}
+            {
+                (int(r["query_id"]), r["term"])
+                for r in rows
+                if r["rn"] is None or r["rn"] <= max_expansions
+            }
         )
         if not qt_pairs:
             return spark.createDataFrame([], RESULT_SCHEMA)

@@ -795,7 +795,13 @@ def _search_distributed(
         qt_override.select("query_id", "term").distinct()
         if qt_override is not None
         else query_terms(queries_df)
-    ).persist()
+    )
+    # the k=None (score_matches) plane returns a LAZY relation — _finish
+    # never runs its unpersist, so persisting here would pin the qt rows in
+    # executor storage until GC on every search_fields/more_like_this call;
+    # re-running the tokenizer per consuming job is the cheaper steady state
+    if k is not None:
+        qt = qt.persist()
     gstats = global_term_stats(spark, index_dir, stats).select("term", "df")
     # inner join == the broadcast plane's `t in idfs` OOV filter
     qti = qt.join(gstats, "term").select(
@@ -901,4 +907,7 @@ def _search_distributed(
         .cogroup(q_shard.groupby("shard"))
         .applyInPandas(_score_dist, schema=RESULT_SCHEMA)
     )
-    return _finish(spark, local, k, eager, bcs, cached=[qt])
+    return _finish(
+        spark, local, k, eager, bcs,
+        cached=[qt] if k is not None else [],
+    )

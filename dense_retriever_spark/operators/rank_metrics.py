@@ -92,13 +92,16 @@ def ndcg_recall(
       DCG@k    = Σ_{i≤k} (2^rel_i − 1) / log2(i + 1) over the RANKED list
       IDCG@k   = the same sum over the query's judgments sorted by
                  (rel DESC, doc_id ASC), cut at k
-      nDCG@k   = DCG/IDCG (0.0 when the query has no judged docs)
+      nDCG@k   = DCG/IDCG
       recall@k = |relevant ∩ top-k| / |relevant|
 
     Every step is a join or aggregation on the query key — no UDF, no
-    driver state; queries with zero retrieved-but-judged docs still appear
-    (metrics 0.0) because the qrels side drives the output, so a broken
-    search cannot silently drop its worst queries from the average.
+    driver state. The QRELS side drives the output: a judged query whose
+    results missed every judgment still appears with metrics 0.0 (a broken
+    search cannot silently drop its worst queries from the average), while
+    a query with NO rel>0 judgments is omitted entirely — both metrics are
+    undefined there (IDCG and the recall denominator are 0; trec_eval
+    drops such queries the same way).
     """
     gain = lambda rel: F.pow(F.lit(2.0), rel.cast("double")) - F.lit(1.0)  # noqa: E731
 

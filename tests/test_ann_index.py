@@ -373,3 +373,43 @@ def test_maintain_reclusters_on_growth_and_recall_holds(spark, tmp_path):
         for r in search_ann_index(spark, d, qs, k=5, nprobe=nprobe).collect()
     }
     assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_refresh_heals_crash_between_cells_and_meta(spark, tmp_path):
+    """Round-7 review finding: a crash AFTER the cells append but BEFORE
+    the meta write used to be unhealable — the retry's anti-join dedups
+    every replayed id, n_w == 0, and the stale meta was returned unchanged.
+    The reconcile path must detect the cells/meta count mismatch and
+    rewrite the meta (count + recomputed coherence)."""
+    import json as _json
+
+    from dense_retriever_spark.index.ann import (
+        load_ann_meta,
+        refresh_ann_index,
+    )
+
+    d = str(tmp_path / "ann_heal")
+    base = _clustered(spark, 0, 300).localCheckpoint(eager=True)
+    build_ann_index(base, d, n_centroids=8, quantizer="hash")
+    win = _clustered(spark, 300, 400).localCheckpoint(eager=True)
+
+    # simulate the crash: run the full refresh (cells + meta), then roll
+    # the META back to its pre-refresh content — on-disk state is now
+    # exactly "appended cells, unwritten meta"
+    meta_before = dict(load_ann_meta(d, spark))
+    healthy = refresh_ann_index(spark, d, win)
+    assert healthy["n_vectors"] == 400
+    with open(d + "/meta.json", "w") as f:
+        f.write(_json.dumps(meta_before))
+
+    # the retry: every id dedups away, but the reconcile must still fix
+    # the counts and coherence
+    healed = refresh_ann_index(spark, d, win)
+    assert healed["n_vectors"] == 400
+    assert abs(healed["mean_top1_cosine"] - healthy["mean_top1_cosine"]) < 1e-4
+    on_disk = load_ann_meta(d, spark)
+    assert on_disk["n_vectors"] == 400
+
+    # and a consistent no-op refresh stays cheap: meta untouched
+    again = refresh_ann_index(spark, d, win)
+    assert again["n_vectors"] == 400

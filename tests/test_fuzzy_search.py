@@ -237,3 +237,30 @@ def doc_tokens_fz(tiny_corpus):
     pdf = tiny_corpus.select("doc_id", "content").toPandas()
     toks = tokenize_code_series(pdf["content"])
     return dict(zip(pdf["doc_id"].astype(int), toks))
+
+
+def test_split_fuzzy_query_mirrors_executor_edges(spark):
+    """Round-7 review finding: '~1' is a fuzzy segment with an empty stem
+    (dropped) on BOTH sides, and non-ASCII digits are not edit counts."""
+    from dense_retriever_spark.index.fuzzy import (
+        _fuzzy_segments,
+        split_fuzzy_query,
+    )
+
+    q = "~1 merg~ x~٣"  # arabic digit 3: literal, not an edit count
+    lits, fuzz = split_fuzzy_query(q)
+    assert ("merg", 1) in fuzz
+    assert all(s != "" for s, _ in fuzz)          # "~1" dropped
+    assert "~1" not in lits                       # ...not a literal either
+    qdf = spark.createDataFrame([(0, q)], "query_id long, query string")
+    lit_df, fz_df = _fuzzy_segments(qdf, 1)
+    exec_lits = {r["term"] for r in lit_df.collect()}
+    exec_fuzz = {(r["stem"], r["edits"]) for r in fz_df.collect()}
+    # driver mirror == executor classification on these edge segments
+    drv_lits = set()
+    from dense_retriever_spark.functions.tokenizer import tokenize_code_series
+    import pandas as pd
+    for seg in lits:
+        drv_lits |= set(tokenize_code_series(pd.Series([seg]))[0])
+    assert exec_lits == drv_lits
+    assert exec_fuzz == {(s, e) for s, e in fuzz}

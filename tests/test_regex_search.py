@@ -118,3 +118,39 @@ def test_regex_truncation_warns(spark, re_index):
     with pytest.warns(RuntimeWarning, match="truncated"):
         r = search_regex(spark, re_index, q, k=10, max_expansions=3)
         r.count()
+
+
+def test_literal_prefix_top_level_alternation_voids_prefix():
+    """Round-7 review finding: a top-level | means the leading literal is
+    NOT required of every match — the prefilter must not assume it."""
+    assert literal_prefix("cat|dog") == ""
+    assert literal_prefix("cat|cab") == ""
+    # grouped alternation keeps the shared prefix
+    assert literal_prefix("merge(r|d)") == "merge"
+    # escaped pipe is a literal, not an alternation
+    assert literal_prefix(r"a\|b") == "a"
+
+
+def test_top_level_alternation_matches_all_branches(spark, re_index):
+    """/merged|margin/ must match docs for BOTH branches despite their
+    different first letters (the prefilter bug would drop 'margin')."""
+    q = spark.createDataFrame(
+        [(0, "/merged|margin/")], "query_id long, query string"
+    )
+    r = search_regex(spark, re_index, q, k=10).toPandas()
+    assert set(r["doc_id"]) == {0, 2}
+
+
+def test_exactly_at_cap_does_not_warn(spark, re_index):
+    """A pattern matching exactly max_expansions terms is complete, not
+    truncated — no warning (the sentinel-row fix)."""
+    import warnings as _w
+
+    # /colou?r/ matches exactly {color, colour}
+    q = spark.createDataFrame(
+        [(0, "/colou?r/")], "query_id long, query string"
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        r = search_regex(spark, re_index, q, k=10, max_expansions=2)
+        assert r.count() > 0
