@@ -138,7 +138,10 @@ def cmd_search(args) -> None:
     if args.syntax == "boolean":
         from dense_retriever_spark.index.boolean import search_boolean
 
-        res = search_boolean(spark, args.index_dir, queries, **common)
+        res = search_boolean(
+            spark, args.index_dir, queries,
+            min_should_match=args.min_should_match, **common,
+        )
     elif args.syntax == "prefix":
         from dense_retriever_spark.index.prefix import search_prefix
 
@@ -730,6 +733,10 @@ def main(argv=None) -> None:
     s.add_argument("--max-edits", type=int, default=1,
                    help="fuzzy syntax: default edit distance for bare ~ "
                         "segments (~1 / ~2 pin it per segment; max 2)")
+    s.add_argument("--min-should-match", type=int, default=0,
+                   help="boolean syntax: docs must match at least this "
+                        "many distinct optional (bare) terms on top of "
+                        "every +required term (Lucene msm; 0 = off)")
     s.add_argument("--offset", type=int, default=0,
                    help="pagination (plain syntax only): return the rank "
                         "window [offset+1, offset+top-n] with absolute "

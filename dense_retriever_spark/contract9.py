@@ -682,6 +682,113 @@ FROM s
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q77 — minimum_should_match (index/boolean.py, search --min-should-match):
+# docs must match >= m distinct optional terms on top of every required
+# term; pure conjunctions are unconstrained (the Lucene msm rule). The
+# oracle extends the boolean restatement with a distinct-optional count.
+# ---------------------------------------------------------------------------
+
+_MSM = 2
+_MSM_QUERIES: list[tuple[int, str]] = [
+    (0, "window customer stream"),   # 3 optional, need any 2
+    (1, "+table scan merge"),        # required + 2 optional, need both
+    (2, "join filter"),              # 2 optional, need both (AND-like)
+    (3, "+spark +row"),              # pure conjunction: unconstrained
+    (4, "customer zzqqnope slow"),   # OOV optional: 2 in-vocab, need both
+]
+
+
+def q77_msm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dense_retriever_spark.contract4 import _q38_index_dir
+    from dense_retriever_spark.contract5 import _rounded_topk
+    from dense_retriever_spark.index.boolean import search_boolean
+
+    idx = _q38_index_dir(spark, sf_dir)
+    queries = spark.createDataFrame(
+        _MSM_QUERIES, "query_id long, query string"
+    )
+    return _rounded_topk(
+        search_boolean(
+            spark, idx, queries, k=_OVERFETCH, min_should_match=_MSM
+        ),
+        _K,
+    )
+
+
+def _msm_sql() -> str:
+    from dense_retriever_spark.index.boolean import parse_boolean_query
+
+    vals = []
+    for qid, q in _MSM_QUERIES:
+        for term, role in parse_boolean_query(q):
+            vals.append(f"({qid}, '{term}', {role})")
+    qterms = ", ".join(vals)
+    return f"""
+WITH qterms(query_id, term, role) AS (VALUES {qterms}),
+tok AS (
+  SELECT doc_id, {_TOK_SQL.format(c='text')} AS terms FROM documents
+),
+dd  AS (SELECT doc_id, terms, len(terms) AS dl FROM tok WHERE len(terms) > 0),
+st  AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd),
+tf  AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, min(dl)::DOUBLE AS dl
+  FROM (SELECT doc_id, unnest(terms) AS term, dl FROM dd)
+  GROUP BY doc_id, term
+),
+dfr AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qterms WHERE role < 2) GROUP BY term
+),
+dead AS (
+  SELECT DISTINCT q.query_id FROM qterms q LEFT JOIN dfr USING (term)
+  WHERE q.role = 1 AND dfr.term IS NULL
+),
+reqn AS (
+  SELECT query_id, count(*) AS n_req FROM qterms WHERE role = 1
+  GROUP BY query_id
+),
+optn AS (  -- in-vocabulary OPTIONAL terms per query (the msm domain)
+  SELECT q.query_id, count(*) AS n_opt
+  FROM qterms q JOIN dfr USING (term) WHERE q.role = 0
+  GROUP BY q.query_id
+),
+con AS (
+  SELECT q.query_id, tf.doc_id, q.role, q.term,
+         ((ln(1 + (st.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf) * {BM25_K1 + 1.0})
+         / (tf.tf + {BM25_K1}*({1.0 - BM25_B} + ({BM25_B}*tf.dl)/st.avgdl)) AS c
+  FROM tf JOIN qterms q USING (term) JOIN dfr USING (term) CROSS JOIN st
+  WHERE q.role < 2
+),
+sc AS (
+  SELECT query_id, doc_id, round(sum(c), 4) AS score,
+         count(DISTINCT CASE WHEN role = 1 THEN term END) AS got_req,
+         count(DISTINCT CASE WHEN role = 0 THEN term END) AS got_opt
+  FROM con GROUP BY query_id, doc_id
+),
+ok AS (
+  SELECT sc.query_id, sc.doc_id, sc.score
+  FROM sc
+  LEFT JOIN reqn USING (query_id)
+  LEFT JOIN optn USING (query_id)
+  WHERE coalesce(reqn.n_req, 0) = sc.got_req
+    AND (coalesce(optn.n_opt, 0) = 0 OR sc.got_opt >= {_MSM})
+    AND sc.query_id NOT IN (SELECT query_id FROM dead)
+),
+rk AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM ok
+)
+SELECT query_id::BIGINT AS query_id, doc_id::BIGINT AS doc_id,
+       score::DOUBLE AS score, rank::INT AS rank
+FROM rk WHERE rank <= {_K}
+"""
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_multifield_search": q68_multifield_search,
     "q69_multifield_search_distributed": q69_multifield_search_distributed,
@@ -692,6 +799,7 @@ QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_stopword_search": q74_stopword_search,
     "q75_regex_search": q75_regex_search,
     "q76_term_snippets": q76_term_snippets,
+    "q77_msm_search": q77_msm_search,
 }
 
 
@@ -708,6 +816,7 @@ def _oracles9() -> dict[str, str]:
         "q74_stopword_search": _stopword_sql(),
         "q75_regex_search": _regex_sql(),
         "q76_term_snippets": _term_snip_sql(),
+        "q77_msm_search": _msm_sql(),
     }
 
 

@@ -120,6 +120,7 @@ def _match_shard_boolean(
     dps: int,
     excl: np.ndarray | None = None,
     incl: np.ndarray | None = None,
+    msm: int = 0,
 ) -> pd.DataFrame:
     """applyInPandas body over ONE shard's index rows.
 
@@ -127,7 +128,14 @@ def _match_shard_boolean(
     — required ⊆ scored. Masks (``excl`` tombstones / ``incl`` allowed set)
     are applied to the decoded postings BEFORE matching, exactly like
     search._score_shard, so shard-local top-k never loses recall under a
-    mask."""
+    mask.
+
+    ``msm`` (minimum_should_match): when > 0 and the query has OPTIONAL
+    (non-required, in-vocabulary) terms, a matching doc must contain at
+    least ``msm`` DISTINCT optional terms on top of every required term.
+    Counting is exact shard-locally (a doc lives in exactly one shard). A
+    query whose optional-term count is below ``msm`` matches nothing; a
+    query with no optional terms is unconstrained (the Lucene rule)."""
     if len(pdf) == 0 or not queries:
         return pd.DataFrame(columns=["query_id", "doc_id", "score", "rank"])
     shard = int(pdf["shard"].iloc[0])
@@ -160,6 +168,10 @@ def _match_shard_boolean(
     for qid, (scored, req, neg) in queries.items():
         if any(r not in row_of for r in req):
             continue  # a required term is absent from this shard
+        req_set = set(req)
+        opt = [t for t in scored if t not in req_set]
+        if msm > 0 and opt and len(opt) < msm:
+            continue  # the query's optional terms can never reach msm
         if req:
             req_ids = sorted((dec(r)[0] for r in req), key=lambda a: a.size)
             sel = req_ids[0]
@@ -172,6 +184,15 @@ def _match_shard_boolean(
             if not present:
                 continue
             sel = np.unique(np.concatenate(present))
+        if msm > 0 and opt and sel.size:
+            present_opt = [dec(t)[0] for t in opt if t in row_of]
+            if len(present_opt) < msm:
+                continue  # too few optional terms IN THIS SHARD to reach msm
+            ids_u, cnt = np.unique(
+                np.concatenate(present_opt), return_counts=True
+            )
+            ok = ids_u[cnt >= msm]
+            sel = np.intersect1d(sel, ok, assume_unique=True)
         for f in neg:
             if sel.size == 0:
                 break
@@ -396,10 +417,21 @@ def search_boolean(
     exclude_doc_ids: DataFrame | None = None,
     include_doc_ids: DataFrame | None = None,
     eager: bool = True,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Top-k boolean BM25 search (module docstring has the grammar).
-    Output: (query_id, doc_id, score, rank)."""
+    Output: (query_id, doc_id, score, rank).
+
+    ``min_should_match``: Lucene's msm knob — when > 0, a matching doc
+    must contain at least that many DISTINCT optional (bare, in-vocab)
+    terms on top of every ``+required`` term; queries with no optional
+    terms are unconstrained. Identical on both planes (the count only
+    depends on the doc's own shard)."""
     stats = load_stats(index_dir)
+    if min_should_match < 0:
+        raise ValueError(
+            f"min_should_match must be >= 0, got {min_should_match}"
+        )
     if query_mode == "auto":
         n_q = queries_df.limit(QUERY_BROADCAST_LIMIT + 1).count()
         query_mode = (
@@ -408,13 +440,13 @@ def search_boolean(
     if query_mode == "broadcast":
         return _boolean_broadcast(
             spark, index_dir, stats, queries_df, k,
-            exclude_doc_ids, include_doc_ids, eager,
+            exclude_doc_ids, include_doc_ids, eager, min_should_match,
         )
     if query_mode != "distributed":
         raise ValueError(f"unknown query_mode {query_mode!r}")
     return _boolean_distributed(
         spark, index_dir, stats, queries_df, k,
-        exclude_doc_ids, include_doc_ids, eager,
+        exclude_doc_ids, include_doc_ids, eager, min_should_match,
     )
 
 
@@ -427,6 +459,7 @@ def _boolean_broadcast(
     exclude_doc_ids: DataFrame | None,
     include_doc_ids: DataFrame | None,
     eager: bool,
+    msm: int = 0,
 ) -> DataFrame:
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     k1, b = stats["k1"], stats["b"]
@@ -477,7 +510,7 @@ def _boolean_broadcast(
         def _match(pdf):
             q, i, x = bc.value
             return _match_shard_boolean(
-                pdf, q, i, k, k1, b, avgdl, dps, x
+                pdf, q, i, k, k1, b, avgdl, dps, x, msm=msm
             )
 
         local = shard_rows.groupBy("shard").applyInPandas(
@@ -563,6 +596,7 @@ def _boolean_distributed(
     exclude_doc_ids: DataFrame | None,
     include_doc_ids: DataFrame | None,
     eager: bool,
+    msm: int = 0,
 ) -> DataFrame:
     """O(1)-driver-state boolean plane: the (query_id, term, role) relation
     stays a DataFrame end-to-end.
@@ -694,7 +728,7 @@ def _boolean_distributed(
                 if t not in idfs:
                     idfs[t] = idf_fn(float(df_), float(n_docs))
         return _match_shard_boolean(
-            left, queries, idfs, k, k1, b, avgdl, dps, x, incl
+            left, queries, idfs, k, k1, b, avgdl, dps, x, incl, msm=msm
         )
 
     local = (

@@ -191,3 +191,84 @@ def test_parse_boolean_query_roles():
     # compound identifiers require every indexed term
     got = dict(parse_boolean_query("+snake_case"))
     assert got == {"snake": 1, "case": 1, "snake_case": 1}
+
+
+# --- minimum_should_match ---------------------------------------------------
+
+
+def test_msm_filters_by_optional_count(spark, idx):
+    """msm=2: docs matching only one optional term drop out; scores of the
+    survivors are unchanged (filtering, not rescoring)."""
+    from dense_retriever_spark.index.boolean import search_boolean
+
+    q = spark.createDataFrame(
+        [(0, "window customer stream")], "query_id long, query string"
+    )
+    base = search_boolean(spark, idx, q, k=50).toPandas()
+    m2 = search_boolean(
+        spark, idx, q, k=50, min_should_match=2
+    ).toPandas()
+    assert set(m2["doc_id"]) <= set(base["doc_id"])
+    assert len(m2) < len(base)
+    merged = m2.merge(base, on=["query_id", "doc_id"], suffixes=("_m", "_b"))
+    assert (merged["score_m"] == merged["score_b"]).all()
+
+
+def test_msm_zero_is_identity_and_planes_agree(spark, idx):
+    import pandas as pd
+
+    from dense_retriever_spark.index.boolean import search_boolean
+
+    q = spark.createDataFrame(
+        [(0, "+table window customer stream"), (1, "window stream")],
+        "query_id long, query string",
+    )
+    a = search_boolean(spark, idx, q, k=20).toPandas()
+    b = search_boolean(
+        spark, idx, q, k=20, min_should_match=0
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        b.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+    c = search_boolean(
+        spark, idx, q, k=20, min_should_match=2
+    ).toPandas()
+    d = search_boolean(
+        spark, idx, q, k=20, min_should_match=2,
+        query_mode="distributed",
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        c.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        d.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_msm_above_optional_count_matches_nothing(spark, idx):
+    from dense_retriever_spark.index.boolean import search_boolean
+
+    q = spark.createDataFrame(
+        [(0, "window stream")], "query_id long, query string"
+    )
+    assert search_boolean(
+        spark, idx, q, k=10, min_should_match=3
+    ).count() == 0
+
+
+def test_msm_ignores_pure_conjunction(spark, idx):
+    """A query with only +required terms is unconstrained by msm."""
+    import pandas as pd
+
+    from dense_retriever_spark.index.boolean import search_boolean
+
+    q = spark.createDataFrame(
+        [(0, "+table +scan")], "query_id long, query string"
+    )
+    a = search_boolean(spark, idx, q, k=20).toPandas()
+    b = search_boolean(
+        spark, idx, q, k=20, min_should_match=5
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("rank").reset_index(drop=True),
+        b.sort_values("rank").reset_index(drop=True),
+    )
