@@ -292,14 +292,27 @@ def cmd_suggest_terms(args) -> None:
 
 def cmd_facets(args) -> None:
     spark = _spark(args)
-    from dense_retriever_spark.operators.facets import facet_counts
+    from dense_retriever_spark.operators.facets import (
+        facet_counts,
+        facet_ranges,
+    )
 
     res = spark.read.parquet(args.results)
     docs = spark.read.parquet(args.docs)
-    out = facet_counts(
-        res, docs, [c.strip() for c in args.columns.split(",") if c.strip()],
-        id_col=args.id_col,
-    )
+    if not args.range and not args.columns:
+        raise SystemExit("facets needs --columns or --range")
+    if args.range:
+        col, lo, hi, bins = args.range.split(":")
+        out = facet_ranges(
+            res, docs, col, float(lo), float(hi), int(bins),
+            id_col=args.id_col,
+        )
+    else:
+        out = facet_counts(
+            res, docs,
+            [c.strip() for c in args.columns.split(",") if c.strip()],
+            id_col=args.id_col,
+        )
     out.write.mode("overwrite").parquet(args.out)
     n = spark.read.parquet(args.out).count()
     print(json.dumps({"facets": args.out, "rows": n}))
@@ -806,8 +819,12 @@ def main(argv=None) -> None:
                     help="parquet search results (query_id, doc_id, ...)")
     fa.add_argument("--docs", required=True,
                     help="parquet document metadata table")
-    fa.add_argument("--columns", required=True,
+    fa.add_argument("--columns", default=None,
                     help="comma-separated facet columns, e.g. lang,source")
+    fa.add_argument("--range", default=None,
+                    help="numeric range facet col:lo:hi:bins (e.g. "
+                         "n_chars:0:200:5) — width_bucket histogram "
+                         "instead of categorical counts")
     fa.add_argument("--id-col", default="doc_id")
     fa.add_argument("--out", required=True)
     fa.set_defaults(fn=cmd_facets)

@@ -789,6 +789,61 @@ FROM rk WHERE rank <= {_K}
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q78 — numeric range facets (operators/facets.py::facet_ranges) over the
+# q38 result set on n_chars: equal-width width_bucket bins, restated in the
+# oracle with the explicit CASE/floor arithmetic (DuckDB has no
+# width_bucket). Bin edges chosen so every boundary product is exact in
+# float64.
+# ---------------------------------------------------------------------------
+
+_FR_LO, _FR_HI, _FR_BINS = 0.0, 200.0, 5
+
+
+def q78_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.contract4 import q38_indexed_search
+    from dense_retriever_spark.operators.facets import facet_ranges
+
+    res = q38_indexed_search(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    return facet_ranges(
+        res, docs, "n_chars", _FR_LO, _FR_HI, _FR_BINS
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("bucket").cast("int"),
+        F.col("n_docs").cast("long"),
+    )
+
+
+def _range_facet_sql() -> str:
+    from dense_retriever_spark.contract import Q01_SQL
+
+    lo, hi, n = _FR_LO, _FR_HI, _FR_BINS
+    return f"""
+WITH res AS ({Q01_SQL}),
+j AS (
+  SELECT DISTINCT r.query_id, r.doc_id, d.n_chars
+  FROM res r JOIN documents d USING (doc_id)
+),
+b AS (
+  SELECT query_id,
+         CASE WHEN n_chars < {lo} THEN 0
+              WHEN n_chars >= {hi} THEN {n + 1}
+              ELSE 1 + CAST(floor((n_chars - {lo}) * {n} / ({hi} - {lo}))
+                           AS INT)
+         END AS bucket
+  FROM j
+)
+SELECT query_id::BIGINT AS query_id, bucket::INT AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM b GROUP BY query_id, bucket
+"""
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_multifield_search": q68_multifield_search,
     "q69_multifield_search_distributed": q69_multifield_search_distributed,
@@ -800,6 +855,7 @@ QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_regex_search": q75_regex_search,
     "q76_term_snippets": q76_term_snippets,
     "q77_msm_search": q77_msm_search,
+    "q78_range_facets": q78_range_facets,
 }
 
 
@@ -817,6 +873,7 @@ def _oracles9() -> dict[str, str]:
         "q75_regex_search": _regex_sql(),
         "q76_term_snippets": _term_snip_sql(),
         "q77_msm_search": _msm_sql(),
+        "q78_range_facets": _range_facet_sql(),
     }
 
 

@@ -48,3 +48,36 @@ def facet_counts(
     return stacked.groupBy("query_id", "facet", "value").agg(
         F.count("*").cast("long").alias("n_docs")
     )
+
+
+def facet_ranges(
+    results: DataFrame,
+    docs: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(query_id, bucket, n_docs) — per-query histogram of a NUMERIC
+    metadata column over the result docs, the range-facet sidebar (price/
+    size/date sliders). Fixed equal-width bins via ``width_bucket``:
+    bucket 0 is below ``lo``, 1..n_bins the in-range bins, n_bins+1 above
+    ``hi`` — deterministic and restatable in ANSI SQL. Same plan shape as
+    ``facet_counts``: broadcast the bounded result side, prune the docs
+    scan to (id, col), one partial-aggregated groupBy."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    res = results.select("query_id", id_col).distinct()
+    joined = F.broadcast(res).join(docs.select(id_col, col), id_col)
+    bucket = F.width_bucket(
+        F.col(col).cast("double"),
+        F.lit(float(lo)),
+        F.lit(float(hi)),
+        F.lit(int(n_bins)),
+    )
+    return joined.groupBy(
+        "query_id", bucket.cast("int").alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n_docs"))

@@ -62,3 +62,38 @@ def test_broadcasts_result_side(spark, docs):
 
     res = spark.createDataFrame([(0, 0)], "query_id long, doc_id long")
     assert uses_broadcast_join(facet_counts(res, docs, ["lang"]))
+
+
+# --- numeric range facets ---------------------------------------------------
+
+
+def test_facet_ranges_width_bucket(spark):
+    from dense_retriever_spark.operators.facets import facet_ranges
+
+    docs = spark.createDataFrame(
+        [(0, 5), (1, 15), (2, 25), (3, 95), (4, 150), (5, -3)],
+        "doc_id long, n_chars long",
+    )
+    res = spark.createDataFrame(
+        [(0, d) for d in range(6)], "query_id long, doc_id long"
+    )
+    got = {
+        (r["query_id"], r["bucket"]): r["n_docs"]
+        for r in facet_ranges(res, docs, "n_chars", 0, 100, 4).collect()
+    }
+    # bins of width 25 over [0, 100): 5->1, 15->1, 25->2, 95->4;
+    # 150 -> overflow bucket 5; -3 -> underflow bucket 0
+    assert got == {(0, 1): 2, (0, 2): 1, (0, 4): 1, (0, 5): 1, (0, 0): 1}
+
+
+def test_facet_ranges_validates(spark):
+    import pytest as _pt
+
+    from dense_retriever_spark.operators.facets import facet_ranges
+
+    docs = spark.createDataFrame([(0, 1)], "doc_id long, v long")
+    res = spark.createDataFrame([(0, 0)], "query_id long, doc_id long")
+    with _pt.raises(ValueError, match="n_bins"):
+        facet_ranges(res, docs, "v", 0, 1, 0)
+    with _pt.raises(ValueError, match="lo"):
+        facet_ranges(res, docs, "v", 5, 5, 2)
