@@ -68,6 +68,8 @@ from dense_retriever_spark.index.search import (
     TERM_FILTER_LIMIT,
     _excl_plan,
     _finish,
+    _mask_right_rel,
+    _mask_split,
     _term_dfs_cached,
     _term_pruned,
     global_term_stats,
@@ -361,31 +363,13 @@ def count_matches(
     else:
         has_include = include_doc_ids is not None
         has_excl_rel = excl_rel is not None
-        legs = []
-        if has_include:
-            incl_flat = include_doc_ids.select(
-                F.col("doc_id").cast("long").alias("doc_id")
-            ).withColumn("shard", (F.col("doc_id") / dps).cast("long"))
-            legs.append(incl_flat.select(
-                "shard", "doc_id", F.lit(False).alias("xm")
-            ))
-            shard_rows = shard_rows.join(
-                incl_flat.select("shard").distinct(), "shard", "left_semi"
-            )
-        if has_excl_rel:
-            legs.append(excl_rel.select(
-                "shard", "doc_id", F.lit(True).alias("xm")
-            ))
-        right_rel = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+        right_rel, shard_rows = _mask_right_rel(
+            include_doc_ids, excl_rel, dps, shard_rows
+        )
 
         def _count_co(left, right):
             q, x = bc.value
-            xm = right["xm"].to_numpy(dtype=bool)
-            ids_r = right["doc_id"].to_numpy(np.int64)
-            incl = np.unique(ids_r[~xm]) if has_include else None
-            if has_excl_rel:
-                xs = ids_r[xm]
-                x = np.sort(xs) if xs.size else None
+            x, incl = _mask_split(right, has_include, has_excl_rel, x)
             return _count_shard_boolean(left, q, dps, x, incl)
 
         local = (
@@ -517,37 +501,19 @@ def _boolean_broadcast(
             _match, schema=RESULT_SCHEMA
         )
     else:
-        # masks cogrouped with the shard scan — same single-right-relation
-        # shape as search._search_broadcast (xm=True marks kill-list rows)
+        # masks cogrouped with the shard scan — the shared construction
+        # (search._mask_right_rel; xm=True marks kill-list rows)
         has_include = include_doc_ids is not None
         has_excl_rel = excl_rel is not None
-        legs = []
-        if has_include:
-            incl_flat = include_doc_ids.select(
-                F.col("doc_id").cast("long").alias("doc_id")
-            ).withColumn("shard", (F.col("doc_id") / dps).cast("long"))
-            legs.append(incl_flat.select(
-                "shard", "doc_id", F.lit(False).alias("xm")
-            ))
-            shard_rows = shard_rows.join(
-                incl_flat.select("shard").distinct(), "shard", "left_semi"
-            )
-        if has_excl_rel:
-            legs.append(excl_rel.select(
-                "shard", "doc_id", F.lit(True).alias("xm")
-            ))
-        right_rel = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+        right_rel, shard_rows = _mask_right_rel(
+            include_doc_ids, excl_rel, dps, shard_rows
+        )
 
         def _match_co(left, right):
             q, i, x = bc.value
-            xm = right["xm"].to_numpy(dtype=bool)
-            ids_r = right["doc_id"].to_numpy(np.int64)
-            incl = np.unique(ids_r[~xm]) if has_include else None
-            if has_excl_rel:
-                xs = ids_r[xm]
-                x = np.sort(xs) if xs.size else None
+            x, incl = _mask_split(right, has_include, has_excl_rel, x)
             return _match_shard_boolean(
-                left, q, i, k, k1, b, avgdl, dps, x, incl
+                left, q, i, k, k1, b, avgdl, dps, x, incl, msm=msm
             )
 
         local = (

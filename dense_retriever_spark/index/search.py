@@ -373,6 +373,55 @@ def _excl_plan(
     return None, flat
 
 
+def _mask_right_rel(
+    include_doc_ids: DataFrame | None,
+    excl_rel: DataFrame | None,
+    dps: int,
+    shard_rows: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared include/exclude cogroup construction for the BROADCAST
+    planes (search / boolean / count_matches — previously copy-pasted).
+    Both masks ride ONE right relation keyed by shard (cogroup has a
+    single right slot; a second shuffle per mask would double the
+    exchange): allowed ids carry xm=False, kill-list ids xm=True. Returns
+    (right_rel, shard_rows) with shard_rows semi-join-pruned to the
+    allowed shards when an include mask is present. Call only when at
+    least one mask relation exists. The distributed planes union their
+    masks into the query relation instead (different column shape) and do
+    not use this helper."""
+    legs = []
+    if include_doc_ids is not None:
+        incl_flat = include_doc_ids.select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        ).withColumn("shard", (F.col("doc_id") / dps).cast("long"))
+        legs.append(incl_flat.select(
+            "shard", "doc_id", F.lit(False).alias("xm")
+        ))
+        shard_rows = shard_rows.join(
+            incl_flat.select("shard").distinct(), "shard", "left_semi"
+        )
+    if excl_rel is not None:
+        legs.append(excl_rel.select(
+            "shard", "doc_id", F.lit(True).alias("xm")
+        ))
+    right_rel = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+    return right_rel, shard_rows
+
+
+def _mask_split(right, has_include: bool, has_excl_rel: bool, default_excl):
+    """pandas-side twin of _mask_right_rel: one cogrouped right slice →
+    (excl_array, incl_array), keeping the xs.size == 0 → None convention
+    in ONE place so the planes cannot silently diverge on it."""
+    xm = right["xm"].to_numpy(dtype=bool)
+    ids_r = right["doc_id"].to_numpy(np.int64)
+    incl = np.unique(ids_r[~xm]) if has_include else None
+    x = default_excl
+    if has_excl_rel:
+        xs = ids_r[xm]
+        x = np.sort(xs) if xs.size else None
+    return x, incl
+
+
 def _finish(
     spark: SparkSession,
     local: DataFrame,
@@ -701,37 +750,16 @@ def _search_broadcast(
     else:
         # allowed ids (and, past the broadcast ceiling, tombstoned ids)
         # cogrouped with the shard scan: each shard's scorer sees exactly
-        # its slice, nothing is collected to the driver. Both masks ride
-        # ONE right relation (xm=True marks kill-list rows) — cogroup has a
-        # single right slot and a second shuffle per mask would double the
-        # exchange.
+        # its slice, nothing is collected to the driver (_mask_right_rel).
         has_include = include_doc_ids is not None
         has_excl_rel = excl_rel is not None
-        legs = []
-        if has_include:
-            incl_flat = include_doc_ids.select(
-                F.col("doc_id").cast("long").alias("doc_id")
-            ).withColumn("shard", (F.col("doc_id") / dps).cast("long"))
-            legs.append(incl_flat.select(
-                "shard", "doc_id", F.lit(False).alias("xm")
-            ))
-            shard_rows = shard_rows.join(
-                incl_flat.select("shard").distinct(), "shard", "left_semi"
-            )
-        if has_excl_rel:
-            legs.append(excl_rel.select(
-                "shard", "doc_id", F.lit(True).alias("xm")
-            ))
-        right_rel = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
+        right_rel, shard_rows = _mask_right_rel(
+            include_doc_ids, excl_rel, dps, shard_rows
+        )
 
         def _score_co(left, right):
             q, i, x = bc.value
-            xm = right["xm"].to_numpy(dtype=bool)
-            ids_r = right["doc_id"].to_numpy(np.int64)
-            incl = np.unique(ids_r[~xm]) if has_include else None
-            if has_excl_rel:
-                xs = ids_r[xm]
-                x = np.sort(xs) if xs.size else None
+            x, incl = _mask_split(right, has_include, has_excl_rel, x)
             return _score_shard(
                 left, q, i, k_shard, k1, b, avgdl, dps, use_blockmax, x, incl
             )

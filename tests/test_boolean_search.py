@@ -272,3 +272,42 @@ def test_msm_ignores_pure_conjunction(spark, idx):
         a.sort_values("rank").reset_index(drop=True),
         b.sort_values("rank").reset_index(drop=True),
     )
+
+
+def test_msm_composes_with_masks(spark, idx):
+    """Regression for the refactor-caught bug: msm must apply on the
+    MASKED (cogrouped) broadcast path too. An include_doc_ids filter
+    forces the cogroup plan; k exceeds the corpus so truncation cannot
+    perturb the doc sets."""
+    import pandas as pd
+
+    from dense_retriever_spark.index.boolean import search_boolean
+
+    # hot keywords co-occur in nearly every synthetic doc
+    q = spark.createDataFrame(
+        [(0, "def import return")], "query_id long, query string"
+    )
+    plain = search_boolean(
+        spark, idx, q, k=300, min_should_match=3
+    ).toPandas()
+    loose = search_boolean(spark, idx, q, k=300).toPandas()
+    assert 0 < len(plain) < len(loose)  # msm=3 actually filters
+
+    allowed_ids = sorted(loose["doc_id"])[: len(loose) // 2]
+    allowed = spark.createDataFrame(
+        [(int(i),) for i in allowed_ids], "doc_id long"
+    )
+    a = search_boolean(
+        spark, idx, q, k=300, min_should_match=3, include_doc_ids=allowed
+    ).toPandas()
+    # msm enforced INSIDE the cogrouped mask path: exactly the plain
+    # msm survivors that are also allowed
+    assert set(a["doc_id"]) == set(plain["doc_id"]) & set(allowed_ids)
+    b = search_boolean(
+        spark, idx, q, k=300, min_should_match=3, include_doc_ids=allowed,
+        query_mode="distributed",
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        b.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
