@@ -230,11 +230,14 @@ def _count_shard_boolean(
     dps: int,
     excl: np.ndarray | None = None,
     incl: np.ndarray | None = None,
+    msm: int = 0,
 ) -> pd.DataFrame:
     """Counting body: per-shard MATCH-SET SIZE per query (same candidate
-    algebra as _match_shard_boolean, no scoring — df/idf lookups are never
-    run on the counting path). Doc ids are unique to their shard, so the
-    global count is a plain sum."""
+    algebra as _match_shard_boolean INCLUDING ``msm``, no scoring — df/idf
+    lookups are never run on the counting path; msm counts in-shard
+    vocabulary, so an everywhere-OOV optional term affects count and
+    search identically). Doc ids are unique to their shard, so the global
+    count is a plain sum."""
     empty = pd.DataFrame({"query_id": [], "n_matches": []}).astype(
         {"query_id": "int64", "n_matches": "int64"}
     )
@@ -268,6 +271,10 @@ def _count_shard_boolean(
     for qid, (scored, req, neg) in queries.items():
         if any(r not in row_of for r in req):
             continue
+        req_set = set(req)
+        opt = [t for t in scored if t not in req_set]
+        if msm > 0 and opt and len(opt) < msm:
+            continue
         if req:
             req_ids = sorted((dec(r) for r in req), key=lambda a: a.size)
             sel = req_ids[0]
@@ -280,6 +287,16 @@ def _count_shard_boolean(
             if not present:
                 continue
             sel = np.unique(np.concatenate(present))
+        if msm > 0 and opt and sel.size:
+            present_opt = [dec(t) for t in opt if t in row_of]
+            if len(present_opt) < msm:
+                continue
+            ids_u, cnt = np.unique(
+                np.concatenate(present_opt), return_counts=True
+            )
+            sel = np.intersect1d(
+                sel, ids_u[cnt >= msm], assume_unique=True
+            )
         for f in neg:
             if sel.size == 0:
                 break
@@ -304,6 +321,7 @@ def count_matches(
     queries_df: DataFrame,
     exclude_doc_ids: DataFrame | None = None,
     include_doc_ids: DataFrame | None = None,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Total-hits: the NUMBER of matching docs per query (the count a
     search UI shows next to the top-k), under the full boolean grammar —
@@ -320,6 +338,7 @@ def count_matches(
     distributed boolean plane with its own aggregation."""
     stats = load_stats(index_dir)
     dps = stats["docs_per_shard"]
+    msm = int(min_should_match)
     rows = queries_df.select("query_id", "query").collect()
     parsed = {
         int(r["query_id"]): parse_boolean_query(r["query"]) for r in rows
@@ -355,7 +374,7 @@ def count_matches(
 
         def _count(pdf):
             q, x = bc.value
-            return _count_shard_boolean(pdf, q, dps, x)
+            return _count_shard_boolean(pdf, q, dps, x, msm=msm)
 
         local = shard_rows.groupBy("shard").applyInPandas(
             _count, schema=schema
@@ -370,7 +389,7 @@ def count_matches(
         def _count_co(left, right):
             q, x = bc.value
             x, incl = _mask_split(right, has_include, has_excl_rel, x)
-            return _count_shard_boolean(left, q, dps, x, incl)
+            return _count_shard_boolean(left, q, dps, x, incl, msm=msm)
 
         local = (
             shard_rows.groupby("shard")

@@ -311,3 +311,26 @@ def test_msm_composes_with_masks(spark, idx):
         a.sort_values(["query_id", "rank"]).reset_index(drop=True),
         b.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_count_matches_agrees_with_msm_search(spark, idx):
+    """Total-hits under msm must equal the msm search's full match-set
+    size — a UI shows them side by side."""
+    from dense_retriever_spark.index.boolean import (
+        count_matches,
+        search_boolean,
+    )
+
+    q = spark.createDataFrame(
+        [(0, "def import return"), (1, "+class self zzqqnope")],
+        "query_id long, query string",
+    )
+    full = search_boolean(
+        spark, idx, q, k=10_000, min_should_match=2
+    ).toPandas()
+    counts = {
+        r["query_id"]: r["n_matches"]
+        for r in count_matches(spark, idx, q, min_should_match=2).collect()
+    }
+    sizes = full.groupby("query_id").size().to_dict()
+    assert counts == {0: sizes.get(0, 0), 1: sizes.get(1, 0)}
