@@ -230,6 +230,21 @@ def cmd_mlt(args) -> None:
     print(json.dumps({"results": args.out, "rows": n}))
 
 
+def cmd_explain(args) -> None:
+    spark = _spark(args)
+    from dense_retriever_spark.index.explain import explain_scores
+    from dense_retriever_spark.sources.readers import read_queries_tsv
+
+    queries = read_queries_tsv(spark, args.queries).selectExpr(
+        "qid as query_id", "text as query"
+    )
+    res = spark.read.parquet(args.results) if args.results else None
+    out = explain_scores(spark, args.index_dir, queries, results=res)
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"explain": args.out, "rows": n}))
+
+
 def cmd_rank_metrics(args) -> None:
     spark = _spark(args)
     from pyspark.sql import functions as F
@@ -786,6 +801,15 @@ def main(argv=None) -> None:
                     choices=["auto", "broadcast", "distributed"])
     ml.add_argument("--out", required=True)
     ml.set_defaults(fn=cmd_mlt)
+
+    xp = sub.add_parser("explain")
+    xp.add_argument("--index-dir", required=True)
+    xp.add_argument("--queries", required=True, help="TSV qid\\ttext")
+    xp.add_argument("--results", default=None,
+                    help="parquet (query_id, doc_id): restrict the "
+                         "explanation to these pairs (a search output)")
+    xp.add_argument("--out", required=True)
+    xp.set_defaults(fn=cmd_explain)
 
     rm = sub.add_parser("rank-metrics")
     rm.add_argument("--results", required=True,

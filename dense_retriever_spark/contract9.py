@@ -844,6 +844,86 @@ FROM b GROUP BY query_id, bucket
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q79 — score explanation (index/explain.py): the per-term BM25 breakdown
+# of the q38 top-10 pairs — the oracle is the q01 con CTE WITHOUT the sum,
+# extended with the raw statistics columns. Engine computes idf/contribution
+# as JVM column expressions; both sides round to 6dp.
+# ---------------------------------------------------------------------------
+
+
+def q79_explain_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dense_retriever_spark.contract4 import (
+        _q38_index_dir,
+        q38_indexed_search,
+    )
+    from dense_retriever_spark.index.explain import explain_scores
+
+    idx = _q38_index_dir(spark, sf_dir)
+    res = q38_indexed_search(spark, sf_dir)
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id long, query string"
+    )
+    out = explain_scores(spark, idx, queries, results=res)
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("term").cast("string"),
+        F.col("tf").cast("long"),
+        F.col("dl").cast("long"),
+        F.col("df").cast("long"),
+        F.round("idf", 6).alias("idf"),
+        F.round("contribution", 6).alias("contribution"),
+    )
+
+
+def _explain_sql() -> str:
+    from dense_retriever_spark.contract import Q01_SQL
+
+    return f"""
+WITH res AS ({Q01_SQL}),
+q(query_id, query) AS (VALUES {_QUERY_VALUES_SQL}),
+tok AS (
+  SELECT doc_id, {_TOK_SQL.format(c='text')} AS terms FROM documents
+),
+dd  AS (SELECT doc_id, terms, len(terms) AS dl FROM tok WHERE len(terms) > 0),
+st  AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dd),
+tf  AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf, min(dl)::DOUBLE AS dl
+  FROM (SELECT doc_id, unnest(terms) AS term, dl FROM dd)
+  GROUP BY doc_id, term
+),
+qt  AS (
+  SELECT DISTINCT query_id, unnest({_TOK_SQL.format(c='query')}) AS term
+  FROM q
+),
+dfr AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM qt) GROUP BY term
+),
+pairs AS (SELECT DISTINCT query_id, doc_id FROM res),
+con AS (
+  SELECT qt.query_id, tf.doc_id, qt.term,
+         tf.tf::BIGINT AS tf, tf.dl::BIGINT AS dl, dfr.df::BIGINT AS df,
+         ln(1 + (st.n - dfr.df + 0.5)/(dfr.df + 0.5)) AS idf,
+         ((ln(1 + (st.n - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf) * {BM25_K1 + 1.0})
+         / (tf.tf + {BM25_K1}*({1.0 - BM25_B} + ({BM25_B}*tf.dl)/st.avgdl))
+           AS contribution
+  FROM tf JOIN qt USING (term) JOIN dfr USING (term) CROSS JOIN st
+)
+SELECT c.query_id::BIGINT AS query_id, c.doc_id::BIGINT AS doc_id,
+       c.term::VARCHAR AS term, c.tf, c.dl, c.df,
+       round(c.idf, 6)::DOUBLE AS idf,
+       round(c.contribution, 6)::DOUBLE AS contribution
+FROM con c JOIN pairs p
+  ON p.query_id = c.query_id AND p.doc_id = c.doc_id
+"""
+
+
 QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_multifield_search": q68_multifield_search,
     "q69_multifield_search_distributed": q69_multifield_search_distributed,
@@ -856,6 +936,7 @@ QUERIES9: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_term_snippets": q76_term_snippets,
     "q77_msm_search": q77_msm_search,
     "q78_range_facets": q78_range_facets,
+    "q79_explain_scores": q79_explain_scores,
 }
 
 
@@ -874,6 +955,7 @@ def _oracles9() -> dict[str, str]:
         "q76_term_snippets": _term_snip_sql(),
         "q77_msm_search": _msm_sql(),
         "q78_range_facets": _range_facet_sql(),
+        "q79_explain_scores": _explain_sql(),
     }
 
 
