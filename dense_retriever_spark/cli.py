@@ -128,6 +128,13 @@ def cmd_search(args) -> None:
             f"--offset applies to plain syntax only (got --syntax "
             f"{args.syntax})"
         )
+    if args.offset and args.synonyms:
+        # search_synonyms has no offset parameter — silently ignoring the
+        # flag would return page 1 labelled as page N (ADVICE r7)
+        raise SystemExit(
+            "--offset is not supported together with --synonyms "
+            "(pagination is not threaded through synonym expansion)"
+        )
     common = dict(
         k=args.top_n,
         exclude_doc_ids=ids(args.exclude_ids),

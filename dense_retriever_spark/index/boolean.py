@@ -616,16 +616,32 @@ def _boolean_distributed(
     live = qtj.filter(F.col("df").isNotNull()).join(
         dead, "query_id", "left_anti"
     )
-    live = live.withColumn(
-        "n_req",
-        F.sum(
-            F.when(F.col("role") == ROLE_REQUIRED, 1).otherwise(0)
-        ).over(Window.partitionBy("query_id")),
-    ).persist()
+    qw = Window.partitionBy("query_id")
+    live = (
+        live.withColumn(
+            "n_req",
+            F.sum(
+                F.when(F.col("role") == ROLE_REQUIRED, 1).otherwise(0)
+            ).over(qw),
+        )
+        # n_opt = the query's GLOBAL live optional-term count: a shard that
+        # holds a query's required terms but NONE of its optional terms
+        # would otherwise see an empty opt list and silently skip the
+        # min_should_match constraint (matching docs with zero optional
+        # hits) — n_opt > 0 with too few shard-present optional terms
+        # proves non-match locally instead (ADVICE r7, high)
+        .withColumn(
+            "n_opt",
+            F.sum(
+                F.when(F.col("role") == ROLE_OPTIONAL, 1).otherwise(0)
+            ).over(qw),
+        )
+        .persist()
+    )
 
     presence = spark.read.parquet(paths.shards).select("shard", "term")
     q_shard = live.join(presence, "term").select(
-        "shard", "query_id", "term", "role", "df", "n_req",
+        "shard", "query_id", "term", "role", "df", "n_req", "n_opt",
         F.lit(None).cast("long").alias("doc_id"),
         F.lit(False).alias("xm"),
     )
@@ -654,6 +670,7 @@ def _boolean_distributed(
                 F.lit(None).cast("int").alias("role"),
                 F.lit(None).cast("long").alias("df"),
                 F.lit(None).cast("long").alias("n_req"),
+                F.lit(None).cast("long").alias("n_opt"),
                 "doc_id",
                 F.lit(False).alias("xm"),
             )
@@ -672,6 +689,7 @@ def _boolean_distributed(
                 F.lit(None).cast("int").alias("role"),
                 F.lit(None).cast("long").alias("df"),
                 F.lit(None).cast("long").alias("n_req"),
+                F.lit(None).cast("long").alias("n_opt"),
                 "doc_id",
                 F.lit(True).alias("xm"),
             )
@@ -704,6 +722,15 @@ def _boolean_distributed(
             req = [t for t, r in zip(terms, roles) if r == ROLE_REQUIRED]
             if len(req) < n_req:
                 continue  # a required term is absent from this shard
+            if msm > 0 and int(grp["n_opt"].iloc[0]) > 0:
+                n_opt_here = int((roles == ROLE_OPTIONAL).sum())
+                if n_opt_here < msm:
+                    # the query HAS optional terms but this shard holds
+                    # fewer than msm of them — no doc here can reach the
+                    # constraint (a doc's postings never span shards);
+                    # covers the n_opt_here == 0 case the matcher's
+                    # `msm > 0 and opt` guard would silently wave through
+                    continue
             scored = [t for t, r in zip(terms, roles) if r != ROLE_FORBIDDEN]
             if not scored:
                 continue

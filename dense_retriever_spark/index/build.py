@@ -59,10 +59,11 @@ from pyspark.sql import functions as F
 
 from dense_retriever_spark import BM25_B, BM25_K1
 from dense_retriever_spark.index import fs
+import struct
+
 from dense_retriever_spark.index.codec import (
+    _varbyte_encode_raw,
     block_meta,
-    encode_position_stream,
-    encode_postings,
     merge_postings_fast,
 )
 
@@ -127,19 +128,29 @@ def assign_doc_ids_scalable(corpus: DataFrame, partitions: int = 0) -> DataFrame
         )
     )
 
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("pid").orderBy(*keys)
+    # Within-partition row index WITHOUT a shuffle: the persisted partitions
+    # are already sorted by the keys, so the stored row order IS the
+    # row_number() order — monotonically_increasing_id's low 33 bits are
+    # exactly the within-partition record number, a narrow JVM projection.
+    # The round-7 implementation used row_number() OVER (PARTITION BY pid
+    # ORDER BY keys), which re-exchanged + re-sorted the ENTIRE corpus
+    # (content included) because Catalyst cannot see that the persisted
+    # blocks are already clustered by pid and sorted — one full corpus
+    # shuffle per build for an id the narrow form computes identically
+    # (asserted by the determinism/density tests). Evaluated directly on
+    # ``arranged`` (before any join) so the partition ids match ``pid``.
+    local_idx = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    )
     out = (
-        arranged.join(off_df, "pid")
+        arranged.withColumn("_local_idx", local_idx)
+        .join(off_df, "pid")
         .withColumn(
             "doc_id",
-            (F.col("_pid_offset") + F.row_number().over(w) - F.lit(1)).cast(
-                "long"
-            ),
+            (F.col("_pid_offset") + F.col("_local_idx")).cast("long"),
         )
         .withColumn("content_sha", F.sha2(F.col("content"), 256))
-        .drop("pid", "_pid_offset")
+        .drop("pid", "_pid_offset", "_local_idx")
     )
     # hand the persist HANDLE to callers: unpersist() must target the exact
     # DataFrame that was persisted (calling it on this derived plan is a
@@ -346,26 +357,63 @@ def _build_shard_rows(
     p_terms = p_terms[p_codes]
     bounds = np.flatnonzero(np.r_[True, p_codes[1:] != p_codes[:-1]])
     bounds = np.r_[bounds, p_codes.size]
+    # BATCHED stream encode (round 8): one v-byte pass per stream over the
+    # WHOLE shard, split per term at value boundaries — v-byte is per-value
+    # independent and each term segment's first delta is its absolute doc
+    # id, so the slices are byte-identical to per-term encode_postings
+    # (asserted by the codec round-trip tests). The former per-term calls
+    # (4 × |vocab| numpy invocations per shard) dominated phase A's
+    # non-tokenizer time.
+    seg_starts = bounds[:-1]
+    deltas = p_docs.copy()
+    deltas[1:] -= p_docs[:-1]
+    deltas[seg_starts] = p_docs[seg_starts]
+    ids_buf, ids_ends = _varbyte_encode_raw(deltas.astype(np.uint64))
+    tf_buf, tf_ends = _varbyte_encode_raw(tfs.astype(np.uint64))
+    dl_buf, dl_ends = _varbyte_encode_raw(p_dls.astype(np.uint64))
+    ids_off = np.concatenate(([0], ids_ends))
+    tf_off = np.concatenate(([0], tf_ends))
+    dl_off = np.concatenate(([0], dl_ends))
+    cf_sums = np.add.reduceat(tfs, seg_starts)
+    if positions:
+        # position deltas reset at every (term, doc) run start (= the
+        # per-doc absolute-first rule of encode_position_stream)
+        pdel = pos_sorted.copy()
+        pdel[1:] -= pos_sorted[:-1]
+        pdel[starts] = pos_sorted[starts]
+        pos_buf, pos_ends = _varbyte_encode_raw(pdel.astype(np.uint64))
+        pos_off = np.concatenate(([0], pos_ends))
+        tok_bounds = np.r_[starts, codes.size][bounds]
     for i in range(bounds.size - 1):
-        lo, hi = bounds[i], bounds[i + 1]
-        ids, tf, dl = p_docs[lo:hi], tfs[lo:hi], p_dls[lo:hi]
-        blast, bmax_tf, bmin_dl = block_meta(ids, tf, dl)
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        ids_b = ids_buf[ids_off[lo]:ids_off[hi]]
+        tf_b = tf_buf[tf_off[lo]:tf_off[hi]]
+        dl_b = dl_buf[dl_off[lo]:dl_off[hi]]
+        blob = (
+            struct.pack("<QQQQ", hi - lo, ids_b.size, tf_b.size, dl_b.size)
+            + ids_b.tobytes()
+            + tf_b.tobytes()
+            + dl_b.tobytes()
+        )
+        blast, bmax_tf, bmin_dl = block_meta(
+            p_docs[lo:hi], tfs[lo:hi], p_dls[lo:hi]
+        )
         row = (
             shard,
             p_terms[lo],
-            int(hi - lo),
-            int(tf.sum()),
+            hi - lo,
+            int(cf_sums[i]),
             int(blast.size),
-            encode_postings(ids, tf, dl),
+            blob,
             blast.tolist(),
             bmax_tf.tolist(),
             bmin_dl.tolist(),
         )
         if positions:
-            tok_lo = starts[lo]
-            tok_hi = starts[hi] if hi < starts.size else codes.size
             row = row + (
-                encode_position_stream(pos_sorted[tok_lo:tok_hi], tf),
+                pos_buf[
+                    pos_off[tok_bounds[i]]:pos_off[tok_bounds[i + 1]]
+                ].tobytes(),
             )
         out.append(row)
     return pd.DataFrame(out, columns=cols)
@@ -815,13 +863,94 @@ def build_index(
     doc_cols = ["doc_id", "repo", "path", "commit", "lang", "content_sha"]
     if content_source is None:
         doc_cols.insert(5, "content")
-    (
-        ingested.select(*doc_cols)
-        .withColumn("shard", (F.col("doc_id") / docs_per_shard).cast("long"))
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(paths.docs)
+    inc = ingested.select(*doc_cols).withColumn(
+        "shard", (F.col("doc_id") / docs_per_shard).cast("long")
     )
+    # INCREMENTAL staging (round 8): an existing docs table is diffed
+    # per-shard — sha-pair fingerprints of the CURRENT docs partitions vs
+    # the ingested corpus — and only changed/new shard partitions are
+    # rewritten (dynamic partition overwrite), vanished ones deleted. A
+    # steady-state refresh window thus writes O(window) doc bytes instead
+    # of re-writing the whole corpus every build; the comparison itself is
+    # metadata-sized (two (doc_id, content_sha) scans — content is never
+    # read from the old table). Correctness matches the phase-A resume
+    # convention exactly: a shard whose (doc_id, content_sha) set is
+    # unchanged keeps its partition verbatim (the fingerprint is computed
+    # from the LIVE docs table, not the manifest, so a crash between a
+    # docs write and its manifest commit can never leave a silently-stale
+    # partition). The diff evaluates ``ingested`` twice (fingerprints +
+    # write) — the same deterministic-re-evaluation requirement resume
+    # already places on it (parquet read / persisted assignment).
+    fp_reuse = None
+    incremental = False
+    if fs.is_dir(paths.docs, spark):
+        try:
+            old_docs = spark.read.parquet(paths.docs)
+        except Exception:
+            old_docs = None
+        if old_docs is not None and sorted(old_docs.columns) == sorted(
+            inc.columns
+        ):
+            from pyspark import StorageLevel
+
+            fp_new = _fingerprint_df(inc).persist(StorageLevel.DISK_ONLY)
+            fp_old = _fingerprint_df(
+                old_docs.withColumn("shard", F.col("shard").cast("long"))
+            ).withColumnRenamed("fp", "fp_old")
+            diff = fp_new.join(fp_old, "shard", "full_outer")
+            # bounded driver probe, ONE job: changed/new shards (rewrite)
+            # and vanished shards (partition delete) together. Collected
+            # BEFORE any overwrite — the diff lineage reads paths.docs,
+            # whose cached file listing the dynamic overwrite invalidates.
+            # Incremental staging only pays off when few shards changed;
+            # past the cap (or when most of the table changed) the plain
+            # full overwrite is both simpler and faster.
+            cap = 100_000
+            flagged = diff.filter(
+                F.col("fp").isNull()
+                | F.col("fp_old").isNull()
+                | (F.col("fp") != F.col("fp_old"))
+            ).select(
+                "shard", F.col("fp").isNull().alias("gone")
+            ).limit(cap + 1).collect()
+            changed_head = [r for r in flagged if not r["gone"]]
+            n_total = fp_new.count()
+            if (
+                len(flagged) <= cap
+                and 2 * len(changed_head) < max(n_total, 1)
+            ):
+                vanished = [r for r in flagged if r["gone"]]
+                if changed_head:
+                    ch = spark.createDataFrame(
+                        [(int(r["shard"]),) for r in changed_head],
+                        "shard long",
+                    )
+                    (
+                        inc.join(F.broadcast(ch), "shard", "left_semi")
+                        .write.mode("overwrite")
+                        .partitionBy("shard")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .parquet(paths.docs)
+                    )
+                for r in vanished:
+                    fs.delete(
+                        os.path.join(paths.docs, f"shard={int(r['shard'])}"),
+                        spark,
+                    )
+                # the diff's own read of paths.docs cached a file listing
+                # that the dynamic overwrite just invalidated — drop it, or
+                # the staged re-read lists deleted part files
+                spark.catalog.refreshByPath(paths.docs)
+                fp_reuse = fp_new  # == fingerprint of the staged table
+                incremental = True
+            else:
+                fp_new.unpersist()
+    if not incremental:
+        (
+            inc.write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(paths.docs)
+        )
     # free the doc-id assignment's DISK_ONLY blocks (the staged parquet now
     # owns the data); the handle targets the DataFrame that was persisted
     getattr(ingested, "_persisted_src", ingested).unpersist()
@@ -848,8 +977,11 @@ def build_index(
     )
     mark("stage_docs")
 
-    # per-shard input fingerprint — stays a DataFrame (never collected)
-    fp_df = _fingerprint_df(staged)
+    # per-shard input fingerprint — stays a DataFrame (never collected).
+    # An incremental staging pass already computed it (from the ingested
+    # rows == the staged rows); reuse the persisted relation instead of
+    # re-aggregating the staged table.
+    fp_df = fp_reuse if fp_reuse is not None else _fingerprint_df(staged)
 
     # RESUME: a shard is done iff manifest says complete AND the stored
     # fingerprint equals the one recomputed from the CURRENT staged corpus —
@@ -901,6 +1033,10 @@ def build_index(
         .count()
         .collect()
     )
+    if fp_reuse is not None:
+        # todo_df (persisted above) is materialized now — the incremental-
+        # staging fingerprints are no longer needed
+        fp_reuse.unpersist()
     mark("resume_plan")
 
     for br in sorted(batch_rows, key=lambda r: r["batch_id"]):
@@ -994,7 +1130,15 @@ def build_index(
         )
         n_gens = len(gen_ids)
     else:
-        shards_df = spark.read.parquet(paths.shards)
+        # explicit projection: applyInPandas is opaque to column pruning, so
+        # without it the merge exchange ships every column — including the
+        # POSITIONS stream of a positional index (≈ posting-sized bytes the
+        # merge never reads; measured 3.2 s vs 1.9 s phase B at 1/4 the
+        # corpus) and n_blocks (recomputed from the merged arrays anyway)
+        shards_df = spark.read.parquet(paths.shards).select(
+            "shard", "term", "df", "cf", "postings",
+            "block_last_doc_id", "block_max_tf", "block_min_dl",
+        )
         merged = (
             shards_df
             .groupBy(F.pmod(F.xxhash64("term"), F.lit(p)).alias("_g"))
@@ -1220,29 +1364,81 @@ def compact_index(
     post-compaction search scores exactly like a tombstoned search of the
     original index (tests/test_index_build.py asserts bit-equality).
 
-    The filtered docs table is staged to a sibling path inside the index dir
+    The filtered docs rows are staged to a sibling path inside the index dir
     first because build_index overwrites paths.docs — reading and overwriting
     the same parquet path in one job is undefined. Staging on the SAME
     filesystem as the index (not driver-local temp) keeps compaction correct
     on a real cluster where executors cannot see the driver's /tmp.
+
+    Round 8: only the shards that actually CONTAIN killed docs are staged
+    (a bounded probe of the kill-list's shard set); the untouched shards
+    flow into the rebuild as a filtered read of the live docs table. The
+    incremental docs staging inside build_index then rewrites exactly the
+    touched partitions, whose input rows come from the staged copy — the
+    write job never reads a file it overwrites (the static shard filter on
+    the untouched leg prunes those partitions from its scan). A compaction
+    therefore writes O(touched shards) doc bytes, not O(corpus), to match
+    the O(touched) phase-A rebuild it always had. Kill-lists whose shard
+    set exceeds the probe cap fall back to staging the full survivor table
+    (the pre-round-8 behavior — at that size most of the table is being
+    rewritten anyway).
     """
     from dense_retriever_spark.index.search import load_stats
 
     paths = IndexPaths(index_dir)
     stats = load_stats(index_dir)  # format_version-checked
-    docs = spark.read.parquet(paths.docs).drop("shard")
+    dps = int(stats["docs_per_shard"])
+    docs_all = spark.read.parquet(paths.docs).withColumn(
+        "shard", F.col("shard").cast("long")
+    )
+    docs = docs_all.drop("shard")
     if "content" not in docs.columns and content_source is None:
         raise ValueError(
             "this index has a METADATA-ONLY docs table (built with "
             "content_source); compaction must re-read content — pass the "
             "immutable input table as content_source"
         )
-    kept = docs.join(kill_df.select("doc_id"), "doc_id", "left_anti")
+    kill_ids = kill_df.select(F.col("doc_id").cast("long").alias("doc_id"))
+    cap = 100_000
+    kill_shards = [
+        int(r["shard"])
+        for r in kill_ids.select(
+            (F.col("doc_id") / dps).cast("long").alias("shard")
+        ).distinct().limit(cap + 1).collect()
+    ]
     staging = os.path.join(paths.root, "_compact_staging")
+    # The partial-staging path feeds build_index an ingested relation whose
+    # untouched leg READS the live docs table, so it is only safe when
+    # build_index provably takes the incremental dynamic-overwrite staging
+    # path (changed partitions only — disjoint from every file the union
+    # reads). build_index falls back to a full overwrite when >= half the
+    # shards changed; 3·|kill shards| < n_shards guarantees strictly fewer
+    # than half even if every kill shard goes orphan, with the probe cap
+    # bounding driver state.
+    partial_ok = (
+        len(kill_shards) <= cap
+        and 3 * len(kill_shards) < int(stats.get("n_shards") or 0)
+    )
     try:
-        kept.write.mode("overwrite").parquet(staging)
+        if partial_ok:
+            touched = docs_all.filter(F.col("shard").isin(kill_shards))
+            (
+                touched.drop("shard")
+                .join(kill_ids, "doc_id", "left_anti")
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            untouched = docs_all.filter(
+                ~F.col("shard").isin(kill_shards)
+            ).drop("shard")
+            ingested = untouched.unionByName(spark.read.parquet(staging))
+        else:
+            docs.join(kill_ids, "doc_id", "left_anti").write.mode(
+                "overwrite"
+            ).parquet(staging)
+            ingested = spark.read.parquet(staging)
         out = build_index(
-            spark.read.parquet(staging),
+            ingested,
             index_dir,
             docs_per_shard=int(stats["docs_per_shard"]),
             term_buckets=int(stats["term_buckets"]),

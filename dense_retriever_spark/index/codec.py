@@ -36,15 +36,22 @@ FORMAT_VERSION = 2
 _MAX_BYTES = 10  # 64 bits / 7
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Vectorized v-byte encode of a uint64 array."""
+def _varbyte_encode_raw(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized v-byte encode → (uint8 buffer, per-value cumulative byte
+    ENDS). The ends array lets batch callers encode many concatenated
+    streams in ONE pass and split the buffer at value boundaries — v-byte
+    is per-value independent, so the split slices are byte-identical to
+    encoding each stream separately."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # bytes needed per value: 1 + how many thresholds 2^(7i) the value reaches
     n = np.ones(v.size, dtype=np.int64)
     for i in range(1, _MAX_BYTES):
-        n += (v >= np.uint64(1) << np.uint64(7 * i)).astype(np.int64)
+        m = v >= np.uint64(1) << np.uint64(7 * i)
+        if not m.any():
+            break
+        n += m.astype(np.int64)
     ends = np.cumsum(n)
     starts = ends - n
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
@@ -57,6 +64,12 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         out[idx] = chunk.astype(np.uint8)
         last = mask & (n == k + 1)
         out[ends[last] - 1] |= 0x80
+    return out, ends
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized v-byte encode of a uint64 array."""
+    out, _ = _varbyte_encode_raw(values)
     return out.tobytes()
 
 
@@ -277,14 +290,13 @@ def block_meta(
             np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
         )
     n_blocks = (n + block_size - 1) // block_size
-    pad = n_blocks * block_size - n
-    last = np.pad(doc_ids, (0, pad), constant_values=doc_ids[-1]).reshape(
-        n_blocks, block_size
-    )[:, -1]
-    max_tf = np.pad(tfs, (0, pad), constant_values=0).reshape(
-        n_blocks, block_size
-    ).max(axis=1)
-    min_dl = np.pad(dls, (0, pad), constant_values=np.iinfo(np.int64).max).reshape(
-        n_blocks, block_size
-    ).min(axis=1)
+    starts = np.arange(n_blocks, dtype=np.int64) * block_size
+    # reduceat handles the short tail block natively — the former
+    # pad+reshape implementation allocated three padded copies per call
+    # (the dominant cost of the per-term build loop; outputs identical)
+    last = np.asarray(doc_ids)[
+        np.minimum(starts + block_size, n) - 1
+    ]
+    max_tf = np.maximum.reduceat(np.asarray(tfs), starts)
+    min_dl = np.minimum.reduceat(np.asarray(dls), starts)
     return last.astype(np.int64), max_tf.astype(np.int64), min_dl.astype(np.int64)

@@ -52,6 +52,7 @@ def interesting_terms(
     seeds: DataFrame,
     max_terms: int = 10,
     content_df: DataFrame | None = None,
+    _shards: list[int] | None = None,
 ) -> DataFrame:
     """(query_id, term, tscore) — each seed query's top ``max_terms`` terms
     by tf·idf, the MLT term-selection relation (exposed for explain/debug
@@ -75,20 +76,29 @@ def interesting_terms(
         docs = spark.read.parquet(paths.docs)
         # docs/ is written partitioned by shard: push the seeds' shard set
         # into the scan (collected bounded probe, the _excl_plan pattern) so
-        # a handful of seeds reads a handful of partitions, not the corpus
-        dps = int(stats["docs_per_shard"])
-        shard_rows = (
-            seeds_n.select(
-                (F.col("doc_id") / dps).cast("long").alias("shard")
+        # a handful of seeds reads a handful of partitions, not the corpus.
+        # ``_shards``: a caller that already collected the seed relation
+        # (more_like_this's broadcast plane) passes the set directly — the
+        # probe job is skipped (per-batch driver-job amortization, r8)
+        if _shards is not None:
+            shard_ids = [int(s) for s in sorted(set(_shards))]
+        else:
+            dps = int(stats["docs_per_shard"])
+            shard_rows = (
+                seeds_n.select(
+                    (F.col("doc_id") / dps).cast("long").alias("shard")
+                )
+                .distinct()
+                .limit(_SEED_SHARD_FILTER_LIMIT + 1)
+                .collect()
             )
-            .distinct()
-            .limit(_SEED_SHARD_FILTER_LIMIT + 1)
-            .collect()
-        )
-        if len(shard_rows) <= _SEED_SHARD_FILTER_LIMIT:
-            docs = docs.filter(
-                F.col("shard").isin([int(r["shard"]) for r in shard_rows])
+            shard_ids = (
+                [int(r["shard"]) for r in shard_rows]
+                if len(shard_rows) <= _SEED_SHARD_FILTER_LIMIT
+                else None
             )
+        if shard_ids is not None and len(shard_ids) <= _SEED_SHARD_FILTER_LIMIT:
+            docs = docs.filter(F.col("shard").isin(shard_ids))
         content_df = docs.select("doc_id", "content")
     seed_text = seeds_n.join(content_df, "doc_id")
 
@@ -140,9 +150,6 @@ def more_like_this(
     ``exclude_doc_ids`` / ``include_doc_ids`` compose as in ``search``
     (masking happens inside the scorer, before top-k).
     """
-    qt = interesting_terms(
-        spark, index_dir, seeds, max_terms, content_df
-    ).select("query_id", "term")
     stats = load_stats(index_dir)
     if query_mode == "auto":  # same probe rule as search(), on the seeds
         from dense_retriever_spark.index.search import QUERY_BROADCAST_LIMIT
@@ -152,21 +159,41 @@ def more_like_this(
             "broadcast" if n_q <= QUERY_BROADCAST_LIMIT else "distributed"
         )
 
-    # worst case every one of a query's seeds lands in its top list; the
-    # max seed count per query bounds the over-fetch (one tiny agg job on
-    # the caller-held seeds relation — scalar to the driver)
-    max_seeds = (
-        seeds.groupBy("query_id").count().agg(F.max("count")).first()[0]
-    )
-    k_fetch = k + int(max_seeds or 0)
-
     if query_mode == "broadcast":
+        # the broadcast plane already collects the interesting-term relation
+        # (its qt_pairs contract); collecting the SEED relation first — the
+        # same bounded-batch contract — lets one collect serve the docs-scan
+        # shard pruning AND the max-seeds over-fetch bound, removing two
+        # per-batch driver jobs (r7 verdict: fixed driver costs dominated
+        # MLT's batch scaling)
+        seed_rows = seeds.select("query_id", "doc_id").collect()
+        dps = int(stats["docs_per_shard"])
+        per_q: dict[int, int] = {}
+        for r in seed_rows:
+            per_q[int(r["query_id"])] = per_q.get(int(r["query_id"]), 0) + 1
+        max_seeds = max(per_q.values(), default=0)
+        shard_set = [int(r["doc_id"]) // dps for r in seed_rows]
+        k_fetch = k + int(max_seeds)
+        qt = interesting_terms(
+            spark, index_dir, seeds, max_terms, content_df,
+            _shards=shard_set if content_df is None else None,
+        ).select("query_id", "term")
         pairs = [(int(r["query_id"]), r["term"]) for r in qt.collect()]
         raw = _search_broadcast(
             spark, index_dir, stats, None, k_fetch, True,
             exclude_doc_ids, False, include_doc_ids, qt_pairs=pairs,
         )
     elif query_mode == "distributed":
+        qt = interesting_terms(
+            spark, index_dir, seeds, max_terms, content_df
+        ).select("query_id", "term")
+        # worst case every one of a query's seeds lands in its top list;
+        # the max seed count per query bounds the over-fetch (one tiny agg
+        # job on the caller-held seeds relation — scalar to the driver)
+        max_seeds = (
+            seeds.groupBy("query_id").count().agg(F.max("count")).first()[0]
+        )
+        k_fetch = k + int(max_seeds or 0)
         raw = _search_distributed(
             spark, index_dir, stats, None, k_fetch, True,
             exclude_doc_ids, False, include_doc_ids, qt_override=qt,

@@ -47,8 +47,8 @@ from pyspark.sql import functions as F
 from dense_retriever_spark.index.build import IndexPaths
 from dense_retriever_spark.index.codec import decode_postings
 from dense_retriever_spark.index.wand import (
+    _contrib,
     idf as idf_fn,
-    score_query_blockmax,
     score_query_exact,
 )
 from dense_retriever_spark.operators.topk import topk_per_group
@@ -130,17 +130,12 @@ def _term_df_cache_clear() -> None:
         _TERM_DF_CACHE.clear()
         _TERM_DF_SIZES.clear()
 
-#: per-(query, shard) adaptive scorer rule: block-max pruning is skipped
-#: for queries whose IN-SHARD term count exceeds this, falling back to the
-#: exact dense-accumulator scorer (identical scores — both scorers are
-#: exact and accumulate per doc in the same sorted-term order). Wide
-#: disjunctions — prefix/fuzzy expansions routinely carry hundreds of
-#: mostly-rare terms — have near-uniform block bounds, so the pruning
-#: set-algebra per term costs strictly more than it saves: MEASURED
-#: (microbench, 30-posting terms, dps 2048) blockmax/exact time ratio is
-#: 3.9-4.6× flat across 4→256 terms, 25.1 ms vs 4.7 ms per (query, shard)
-#: at 402 terms. Narrow queries keep block-max, the regime it was built
-#: for (few terms, large skewed postings).
+#: HISTORICAL (rounds 4-7): block-max pruning was skipped for queries with
+#: more in-shard terms than this. As of round 8 the batch scorer is
+#: exact-only (see _score_shard — with per-term contribution caching the
+#: vectorized block-max path measured 2.6-5.4× slower in EVERY posting
+#: regime, since its phase 1 already touches all postings), so this limit
+#: no longer routes anything; kept for external importers/tests.
 WIDE_QUERY_BLOCKMAX_LIMIT = 32
 
 #: the tombstone broadcast ceiling: below it a kill-list collects to a
@@ -235,9 +230,20 @@ def _score_shard(
     Rows whose term no query asked for (``term not in idfs``) are skipped
     without decoding — distributed query mode may feed the unfiltered shard
     scan when the query-term set is too large to broadcast-prefilter.
-    """
-    from dense_retriever_spark.index.codec import block_meta
 
+    Scorer strategy (round 8, MEASURED): the batch scorer always runs the
+    EXACT dense-accumulator path with per-term contribution caching.
+    ``use_blockmax`` is accepted for API compatibility but no longer routes
+    to ``score_query_blockmax``: the vectorized block-max formulation's
+    phase 1 is itself O(total postings) (every posting's block bound is
+    scatter-added), so once per-term contributions are cached and shared
+    across the batch, block-max does strictly MORE work than exact in every
+    regime — microbenched 2.6–5.4× slower across dense/sparse/skewed
+    posting mixes, 19.0 s → 7.1 s on the 5k-query distributed batch and
+    2.3 s → 1.65 s on the 100-query broadcast batch at sf0.1. Both scorers
+    are exact by construction, so results are bit-identical either way
+    (tests/test_wand_rank_identity.py asserts it).
+    """
     if len(pdf) == 0:
         return pd.DataFrame(columns=["query_id", "doc_id", "score", "rank"])
     shard = int(pdf["shard"].iloc[0])
@@ -249,7 +255,6 @@ def _score_shard(
         if shard_excl.size == 0:
             shard_excl = None
     decoded: dict[str, tuple] = {}
-    blocks: dict[str, tuple] = {}
     masked = shard_excl is not None or incl is not None
     for r in pdf.itertuples(index=False):  # one iteration per TERM, not per row
         if r.term not in idfs:
@@ -264,44 +269,39 @@ def _score_shard(
         if masked and ids.size == 0:
             continue
         decoded[r.term] = (ids, tfs, dls)
-        if not use_blockmax:
-            continue  # exact scorer never reads blocks — skip the numpy work
-        if masked:
-            # masked postings → stored blocks are misaligned; rebuild
-            # LAZILY below: only narrow (blockmax-eligible) queries read
-            # blocks, so terms touched solely by wide disjunctions never
-            # pay the per-term block_meta rebuild
-            blocks[r.term] = None
-        else:
-            blocks[r.term] = (
-                np.asarray(r.block_last_doc_id, dtype=np.int64),
-                np.asarray(r.block_max_tf, dtype=np.int64),
-                np.asarray(r.block_min_dl, dtype=np.int64),
-            )
-    out_q, out_d, out_s = [], [], []
+    # BATCH amortization (round 8): per-term work is hoisted out of the
+    # query loop — (a) queries with IDENTICAL shard-present term lists are
+    # scored once (large batches over a shared vocabulary repeat term sets
+    # constantly; identical inputs give identical outputs), and (b) each
+    # term's BM25 contribution / per-posting block bound is computed once
+    # per shard and shared across every query touching the term
+    # (elementwise arrays — bit-identical to the per-query computation).
+    by_sig: dict[tuple[str, ...], list[int]] = {}
     for qid, terms in queries.items():
-        term_rows = [
-            (t, idfs[t], *decoded[t]) for t in terms if t in decoded
-        ]
-        if not term_rows:
-            continue
-        if use_blockmax and len(term_rows) <= WIDE_QUERY_BLOCKMAX_LIMIT:
-            block_rows = []
-            for t in term_rows:
-                blk = blocks[t[0]]
-                if blk is None:  # masked: rebuild on first narrow-query use
-                    blk = blocks[t[0]] = block_meta(*decoded[t[0]])
-                block_rows.append(blk)
-            scores, doc_ids = score_query_blockmax(
-                term_rows, block_rows, base, docs_per_shard, k, k1, b, avgdl
-            )
-        else:
-            scores, doc_ids = score_query_exact(
-                term_rows, base, docs_per_shard, k, k1, b, avgdl
-            )
-        out_q.append(np.full(scores.size, qid, dtype=np.int64))
-        out_d.append(doc_ids)
-        out_s.append(scores)
+        sig = tuple(t for t in terms if t in decoded)
+        if sig:
+            by_sig.setdefault(sig, []).append(qid)
+    contribs: dict[str, np.ndarray] = {}
+
+    def _contrib_of(t: str) -> np.ndarray:
+        c = contribs.get(t)
+        if c is None:
+            ids, tf, dl = decoded[t]
+            c = contribs[t] = _contrib(idfs[t], tf, dl, k1, b, avgdl)
+        return c
+
+    out_q, out_d, out_s = [], [], []
+    for sig, qids in by_sig.items():
+        term_rows = [(t, idfs[t], *decoded[t]) for t in sig]
+        contrib_rows = [_contrib_of(t) for t in sig]
+        scores, doc_ids = score_query_exact(
+            term_rows, base, docs_per_shard, k, k1, b, avgdl,
+            contrib_rows=contrib_rows,
+        )
+        for qid in qids:
+            out_q.append(np.full(scores.size, qid, dtype=np.int64))
+            out_d.append(doc_ids)
+            out_s.append(scores)
     if not out_q:
         return pd.DataFrame(columns=["query_id", "doc_id", "score", "rank"])
     return pd.DataFrame(
@@ -730,10 +730,12 @@ def _search_broadcast(
     dps = stats["docs_per_shard"]
     excl, excl_rel = _excl_plan(exclude_doc_ids, dps)
     bc = spark.sparkContext.broadcast((qmap, idfs, excl))
+    # only (shard, term, postings) — the batch scorer is exact-only as of
+    # round 8, so the three block-metadata array columns stay out of the
+    # scan, the Arrow transfer, and the grouping exchange entirely
     shard_rows = (
         _term_pruned(spark.read.parquet(paths.shards), present, spark)
-        .select("shard", "term", "postings", "block_last_doc_id",
-                "block_max_tf", "block_min_dl")
+        .select("shard", "term", "postings")
     )
 
     if include_doc_ids is None and excl_rel is None:
@@ -845,9 +847,9 @@ def _search_distributed(
         F.lit(False).alias("xm"),
     )
 
+    # exact-only batch scorer (round 8): block metadata never leaves disk
     shard_rows = spark.read.parquet(paths.shards).select(
-        "shard", "term", "postings", "block_last_doc_id",
-        "block_max_tf", "block_min_dl",
+        "shard", "term", "postings",
     )
     # prefilter the shard scan by query terms while the distinct-term set is
     # small enough to broadcast; at vocabulary-scale |Q| the filter would

@@ -71,37 +71,77 @@ def score_query_exact(
     k1: float,
     b: float,
     avgdl: float,
+    contrib_rows: list[np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """term_rows: [(term, idf, doc_ids, tfs, dls)] SORTED by term.
-    Returns (scores, doc_ids) of the shard-local top-k."""
+    Returns (scores, doc_ids) of the shard-local top-k.
+
+    ``contrib_rows``: optional precomputed per-term contribution arrays
+    (aligned with term_rows; each = _contrib over that term's postings) —
+    batch callers compute them ONCE per (shard, term) and share them across
+    every query touching the term. Values are bit-identical either way
+    (same elementwise expression)."""
     acc = np.zeros(span, dtype=np.float64)
     touched = np.zeros(span, dtype=bool)
-    for _term, idf_t, ids, tf, dl in term_rows:
+    for i, (_term, idf_t, ids, tf, dl) in enumerate(term_rows):
         lidx = ids - base
-        acc[lidx] += _contrib(idf_t, tf, dl, k1, b, avgdl)
+        c = (
+            contrib_rows[i]
+            if contrib_rows is not None
+            else _contrib(idf_t, tf, dl, k1, b, avgdl)
+        )
+        acc[lidx] += c
         touched[lidx] = True
     hit = np.flatnonzero(touched)
     return _topk(acc[hit], hit + base, k)
 
 
-def _exact_scores_sorted(term_rows, sel_lidx, base, k1, b, avgdl):
+def _exact_scores_sorted(term_rows, sel_lidx, base, k1, b, avgdl,
+                         contrib_rows=None):
     """Exact scores for a set of local doc indices.
 
     Returns (sel_sorted, scores) with scores aligned to the ASCENDING-sorted
     selection; per-doc sums accumulate in sorted-term order (oracle parity).
-    Fully vectorized membership via searchsorted.
-    """
+    Fully vectorized membership via searchsorted. ``contrib_rows`` as in
+    score_query_exact (subsetting a precomputed elementwise array yields
+    the same floats as computing on the subset)."""
     sel_sorted = np.sort(np.asarray(sel_lidx, dtype=np.int64))
     out = np.zeros(sel_sorted.size, dtype=np.float64)
-    for _t, idf_t, ids, tf, dl in term_rows:
+    for i, (_t, idf_t, ids, tf, dl) in enumerate(term_rows):
         lidx = ids - base
         pos = np.searchsorted(sel_sorted, lidx)
         pos_c = np.minimum(pos, sel_sorted.size - 1)
         m = sel_sorted[pos_c] == lidx
         if not m.any():
             continue
-        out[pos_c[m]] += _contrib(idf_t, tf[m], dl[m], k1, b, avgdl)
+        if contrib_rows is not None:
+            out[pos_c[m]] += contrib_rows[i][m]
+        else:
+            out[pos_c[m]] += _contrib(idf_t, tf[m], dl[m], k1, b, avgdl)
     return sel_sorted, out
+
+
+def posting_upper_bounds(
+    idf_t: float,
+    ids: np.ndarray,
+    bmax_tf: np.ndarray,
+    bmin_dl: np.ndarray,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> np.ndarray:
+    """Per-POSTING upper bound for one term: each posting carries the bound
+    of its 128-doc block (codec.block_meta), inflated 1e-9 so float
+    re-association can never let a true score exceed its bound. Split out so
+    batch callers can compute it once per (shard, term) and share it across
+    queries."""
+    n = ids.size
+    n_blocks = bmax_tf.size
+    counts = np.full(n_blocks, BLOCK_SIZE, dtype=np.int64)
+    if n_blocks:
+        counts[-1] = n - BLOCK_SIZE * (n_blocks - 1)
+    block_ub = _contrib(idf_t, bmax_tf, bmin_dl, k1, b, avgdl) * (1.0 + 1e-9)
+    return np.repeat(block_ub, counts)
 
 
 def score_query_blockmax(
@@ -113,31 +153,36 @@ def score_query_blockmax(
     k1: float,
     b: float,
     avgdl: float,
+    contrib_rows: list[np.ndarray] | None = None,
+    ub_rows: list[np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max pruned scoring; identical output to score_query_exact.
 
     block_rows[i] = (block_last_doc_id, block_max_tf, block_min_dl) aligned
     with term_rows[i]; blocks cover BLOCK_SIZE consecutive postings each.
-    The per-block bound is computed HERE from (max_tf, min_dl) and the live
+    The per-block bound is computed from (max_tf, min_dl) and the live
     avgdl — tfn is monotone up in tf / down in dl, so tfn(max_tf, min_dl)
-    dominates every member (codec.block_meta); inflated 1e-9 so float
-    re-association can never let a true score exceed its bound.
+    dominates every member (codec.block_meta). ``contrib_rows`` /
+    ``ub_rows``: optional precomputed per-term contribution / per-posting
+    upper-bound arrays (posting_upper_bounds), shared across a batch's
+    queries by the shard scorer — bit-identical results either way.
     """
     # Phase 1 — upper-bound accumulator: each posting contributes the bound of
     # its block; a doc's summed bound >= its true score.
     ub = np.zeros(span, dtype=np.float64)
     touched = np.zeros(span, dtype=bool)
-    for (_t, idf_t, ids, _tf, _dl), (_blast, bmax_tf, bmin_dl) in zip(
-        term_rows, block_rows
+    for i, ((_t, idf_t, ids, _tf, _dl), (_blast, bmax_tf, bmin_dl)) in enumerate(
+        zip(term_rows, block_rows)
     ):
-        n = ids.size
-        n_blocks = bmax_tf.size
-        counts = np.full(n_blocks, BLOCK_SIZE, dtype=np.int64)
-        if n_blocks:
-            counts[-1] = n - BLOCK_SIZE * (n_blocks - 1)
-        block_ub = _contrib(idf_t, bmax_tf, bmin_dl, k1, b, avgdl) * (1.0 + 1e-9)
+        rep = (
+            ub_rows[i]
+            if ub_rows is not None
+            else posting_upper_bounds(
+                idf_t, ids, bmax_tf, bmin_dl, k1, b, avgdl
+            )
+        )
         lidx = ids - base
-        ub[lidx] += np.repeat(block_ub, counts)
+        ub[lidx] += rep
         touched[lidx] = True
     hit = np.flatnonzero(touched)
     if hit.size == 0:
@@ -147,10 +192,14 @@ def score_query_blockmax(
     # upper bounds; their true scores lower-bound the final k-th best.
     kk = min(k, hit.size)
     seed_sel = hit[np.argpartition(-ub[hit], kk - 1)[:kk]]
-    _, seed_scores = _exact_scores_sorted(term_rows, seed_sel, base, k1, b, avgdl)
+    _, seed_scores = _exact_scores_sorted(
+        term_rows, seed_sel, base, k1, b, avgdl, contrib_rows
+    )
     theta = seed_scores.min()
 
     # Phase 3 — prune by the WAND invariant and exact-rescore survivors.
     surv = hit[ub[hit] >= theta]
-    surv_sorted, scores = _exact_scores_sorted(term_rows, surv, base, k1, b, avgdl)
+    surv_sorted, scores = _exact_scores_sorted(
+        term_rows, surv, base, k1, b, avgdl, contrib_rows
+    )
     return _topk(scores, surv_sorted + base, k)

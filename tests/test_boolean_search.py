@@ -334,3 +334,42 @@ def test_count_matches_agrees_with_msm_search(spark, idx):
     }
     sizes = full.groupby("query_id").size().to_dict()
     assert counts == {0: sizes.get(0, 0), 1: sizes.get(1, 0)}
+
+
+def test_msm_shard_local_optional_absence_planes_agree(spark, tmp_path):
+    """ADVICE r7 repro: a shard that holds a query's REQUIRED term but NONE
+    of its optional terms must still enforce min_should_match on the
+    distributed plane — the shard-present optional list is empty there, and
+    the matcher's `msm > 0 and opt` guard alone would wave every doc
+    through (the broadcast plane carries the GLOBAL optional list and was
+    always correct)."""
+    rows = [(i, "alpha gamma delta") for i in range(4)] + [
+        (i, "alpha beta gamma") for i in range(4, 8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = docs.select(
+        "doc_id",
+        F.lit("r").alias("repo"),
+        F.concat(F.lit("p"), F.col("doc_id").cast("string")).alias("path"),
+        F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("commit"),
+        F.lit("py").alias("lang"),
+        F.col("text").alias("content"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+    )
+    d = str(tmp_path / "idx")
+    build_index(inp, d, docs_per_shard=4, term_buckets=2)
+    q = spark.createDataFrame(
+        [(0, "+alpha beta")], "query_id long, query string"
+    )
+    bc = search_boolean(
+        spark, d, q, k=50, min_should_match=1
+    ).toPandas()
+    ds = search_boolean(
+        spark, d, q, k=50, min_should_match=1, query_mode="distributed"
+    ).toPandas()
+    # only the docs that actually contain >= 1 optional term may match
+    assert sorted(bc["doc_id"].astype(int)) == [4, 5, 6, 7]
+    pd.testing.assert_frame_equal(
+        bc.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        ds.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )

@@ -266,3 +266,30 @@ def test_ndcg_recall_perfect_ranking_is_one(spark):
     )
     r = ndcg_recall(res, qrels, k=2).collect()[0]
     assert abs(r["ndcg"] - 1.0) < 1e-12 and r["recall"] == 1.0
+
+
+def test_search_fields_include_mask_fused(spark, field_indexes, qs):
+    """Allowed-set masking through the FUSED shard-local plan (round 8):
+    only allowed docs surface, scores of survivors are unchanged."""
+    title, body = field_indexes
+    legs = [("title", title, 2.0), ("body", body, 1.0)]
+    allowed = spark.createDataFrame([(0,), (2,), (4,)], "doc_id long")
+    got = search_fields(
+        spark, legs, qs, k=6, include_doc_ids=allowed
+    ).toPandas()
+    assert set(got["doc_id"]) <= {0, 2, 4}
+    base = search_fields(spark, legs, qs, k=6).toPandas()
+    merged = got.merge(base, on=["query_id", "doc_id"], suffixes=("_m", "_b"))
+    assert abs(merged["score_m"] - merged["score_b"]).max() == 0.0
+
+
+def test_search_fields_same_dir_twice_fused(spark, field_indexes, qs):
+    """Two field legs over the SAME physical index (the bench shape): the
+    fused plan scans it once and must equal the naive weighted sum."""
+    title, _ = field_indexes
+    legs = [("a", title, 1.0), ("b", title, 0.5)]
+    got = search_fields(spark, legs, qs, k=5).toPandas()
+    single = search(spark, title, qs, k=5, use_blockmax=False).toPandas()
+    m = got.merge(single, on=["query_id", "doc_id"], suffixes=("_f", "_s"))
+    assert len(m) == len(got) == len(single)
+    assert abs(m["score_f"] - (m["score_s"] * 1.0 + m["score_s"] * 0.5)).max() < 1e-12

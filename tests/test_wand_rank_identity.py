@@ -97,44 +97,53 @@ def test_blockmax_under_tombstones_rank_identity(spark, idx, tiny_corpus, tiny_q
     _assert_rank_identical(bm, ex)
 
 
-def test_blockmax_branch_runs_with_tombstones(spark, idx, monkeypatch):
-    """Unit-level spy on _score_shard: with a NON-EMPTY exclusion set the
-    block-max scorer is still invoked (round 2 silently fell back to the
-    exact path) and its re-derived blocks yield the exact scorer's result."""
+def test_shard_scorer_masked_matches_blockmax_oracle(spark, idx):
+    """_score_shard under a live exclusion set (round 8: always the cached
+    exact scorer — use_blockmax routes nowhere) must equal the DIRECT
+    block-max scorer run over the same re-derived masked postings: both
+    scorers are exact by construction, so any divergence is a bug in the
+    masking or caching path."""
     import numpy as np
 
-    import dense_retriever_spark.index.search as searchmod
     from dense_retriever_spark.index import wand
+    from dense_retriever_spark.index.codec import block_meta, decode_postings
     from dense_retriever_spark.index.search import _score_shard, load_stats
 
     stats = load_stats(idx)
     pdf = (
         spark.read.parquet(f"{idx}/shards")
         .filter("shard = 0")
-        .select("shard", "term", "postings", "block_last_doc_id",
-                "block_max_tf", "block_min_dl")
+        .select("shard", "term", "postings")
         .toPandas()
     )
     terms = sorted(pdf["term"].tolist())[:5]
     queries = {0: terms}
     idfs = {t: 1.5 for t in terms}
     excl = np.array([1, 3, 5], dtype=np.int64)
-    calls = []
-    real = wand.score_query_blockmax
-
-    def spy(*a, **kw):
-        calls.append(1)
-        return real(*a, **kw)
-
-    monkeypatch.setattr(searchmod, "score_query_blockmax", spy)
     args = (queries, idfs, 10, stats["k1"], stats["b"], stats["avgdl"],
             stats["docs_per_shard"])
     out_bm = _score_shard(pdf, *args, True, excl)
-    assert calls, "blockmax scorer was not invoked under a live exclusion set"
     out_ex = _score_shard(pdf, *args, False, excl)
     cols = ["query_id", "doc_id", "score"]
     assert out_bm[cols].values.tolist() == out_ex[cols].values.tolist()
     assert not set(out_bm["doc_id"].tolist()) & {1, 3, 5}
+
+    # independent oracle: score_query_blockmax over hand-masked postings
+    row_of = {t: i for i, t in enumerate(pdf["term"])}
+    term_rows, block_rows = [], []
+    for t in terms:
+        ids, tfs, dls = decode_postings(pdf["postings"].iloc[row_of[t]])
+        keep = ~np.isin(ids, excl, assume_unique=True)
+        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+        term_rows.append((t, idfs[t], ids, tfs, dls))
+        block_rows.append(block_meta(ids, tfs, dls))
+    scores, doc_ids = wand.score_query_blockmax(
+        term_rows, block_rows, 0, stats["docs_per_shard"], 10,
+        stats["k1"], stats["b"], stats["avgdl"],
+    )
+    got = out_ex[out_ex["query_id"] == 0].sort_values("rank")
+    assert got["doc_id"].tolist() == doc_ids.tolist()
+    assert np.allclose(got["score"].to_numpy(), scores)
 
 
 def test_filtered_search_include_docs(spark, idx, tiny_corpus, tiny_queries):
