@@ -241,6 +241,12 @@ def jaccard_verify(
             ).alias("sh"),
         )
     )
+    if prefilter:
+        # the relation joins BOTH pair sides below; without a lineage cut
+        # the tokenize+shingle expressions run twice over every candidate
+        # doc (measured ~2x the verify stage at sf0.1). Bounded by the
+        # candidate-doc count, like the pairs checkpoint above.
+        sets_df = sets_df.localCheckpoint(eager=True)
     j = (
         pairs.join(sets_df.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets_df.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
